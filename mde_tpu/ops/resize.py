@@ -1,0 +1,92 @@
+"""Spatial resize ops with exact torch interpolation semantics, TPU-first.
+
+The reference leans on `F.interpolate(..., mode='bilinear', align_corners=True)`
+in the decoder upsample (reference models/unet_adaptive_bins.py:51), the loss
+(loss.py:14), validation/eval resizes (train.py:543, evaluate.py:61, infer.py:117)
+and `mode='nearest'` for cue downsampling (unet_adaptive_bins.py:247,264,268).
+
+`jax.image.resize` implements neither torch's align_corners=True bilinear nor
+torch's legacy 'nearest'. Instead of a gather-heavy port we express separable
+interpolation as two small dense matmuls:
+
+    out[b, :, :, c] = W_h @ img[b, :, :, c] @ W_w^T
+
+which XLA maps straight onto the MXU — on TPU this is faster than gathers for
+the dense weights involved, and it is exactly equal to torch's kernel
+arithmetic (each output pixel is the same convex combination of inputs).
+Weight matrices depend only on static shapes, so they are constants folded at
+trace time.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=128)
+def _linear_weights_align_corners(in_size: int, out_size: int) -> np.ndarray:
+    """Row-stochastic (out_size, in_size) bilinear weights, align_corners=True."""
+    if in_size == 1 or out_size == 1:
+        # torch maps everything to source index 0 when out_size==1 under
+        # align_corners; when in_size==1 every output copies the single input.
+        w = np.zeros((out_size, in_size), dtype=np.float32)
+        w[:, 0] = 1.0
+        return w
+    src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 2)
+    frac = src - lo
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    rows = np.arange(out_size)
+    w[rows, lo] = 1.0 - frac
+    w[rows, lo + 1] = frac
+    return w.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=128)
+def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
+    """torch 'nearest' (legacy, floor) source index per output position."""
+    return np.minimum(
+        (np.arange(out_size, dtype=np.float64) * (in_size / out_size)).astype(np.int64),
+        in_size - 1,
+    )
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Bilinear align_corners=True resize of NHWC (or HWC / NCHW-agnostic axes).
+
+    Args:
+        x: (..., H, W, C) array; the two axes before the last are resized.
+        out_hw: (out_h, out_w).
+    Returns:
+        (..., out_h, out_w, C) array, same dtype as x for floating inputs.
+    """
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    h, w = x.shape[-3], x.shape[-2]
+    if (h, w) == (out_h, out_w):
+        return x
+    dtype = x.dtype
+    wh = jnp.asarray(_linear_weights_align_corners(h, out_h), dtype=jnp.float32)
+    ww = jnp.asarray(_linear_weights_align_corners(w, out_w), dtype=jnp.float32)
+    xf = x.astype(jnp.float32)
+    # (..., H, W, C): contract H with wh then W with ww via einsum → two
+    # matmuls. HIGHEST precision keeps f32 accumulation on the MXU so eval
+    # resizes match the reference bit-for-bit to fp32 rounding.
+    y = jnp.einsum('oh,...hwc->...owc', wh, xf, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum('pw,...owc->...opc', ww, y, precision=jax.lax.Precision.HIGHEST)
+    return y.astype(dtype)
+
+
+def resize_nearest(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """torch mode='nearest' resize of (..., H, W, C)."""
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    h, w = x.shape[-3], x.shape[-2]
+    if (h, w) == (out_h, out_w):
+        return x
+    ih = jnp.asarray(_nearest_indices(h, out_h))
+    iw = jnp.asarray(_nearest_indices(w, out_w))
+    y = jnp.take(x, ih, axis=-3)
+    y = jnp.take(y, iw, axis=-2)
+    return y
