@@ -1,0 +1,300 @@
+"""NYUD2 / KITTI depth dataset + batched prefetching loader.
+
+Behavioral port of reference dataloader.py:29-620 with a TPU-first shape
+discipline: every train sample is exactly (input_height, input_width), every
+eval sample is the full registered frame, so jit never recompiles. The four
+copy-pasted random_crop*/train_preprocess* variants in the reference
+(dataloader.py:376-499) collapse into single n-ary transforms; cue label/area
+maps stay raw int32 — embedding happens on device (mde_tpu/cues/embedders.py).
+
+Batches are assembled by a thread pool and double-buffered onto the device by
+`DevicePrefetcher` (data/prefetch.py), replacing torch DataLoader worker
+processes + pinned-memory H2D (reference dataloader.py:38-42).
+"""
+
+import os
+from typing import Optional
+
+import numpy as np
+from PIL import Image
+
+from . import transforms as T
+
+
+def remove_leading_slash(s: str) -> str:
+    if s and s[0] in ("/", "\\"):
+        return s[1:]
+    return s
+
+
+def _derive_side_paths(image_path: str, args):
+    """Side-file path derivation rules (reference dataloader.py:98-113)."""
+    paths = {}
+    if args.use_semantics is not None:
+        if "ade20k-places" not in args.use_semantics:
+            paths["semantics"] = image_path.replace("rgb", "semantic_seg").replace(".jpg", ".npy")
+        else:
+            paths["semantics"] = image_path.replace(
+                "rgb", "instance_labels_ade20k_swin").replace(".jpg", ".npz")
+    if args.use_instance_segmentation is not None:
+        if "ade20k_swin" in args.use_instance_segmentation:
+            paths["instance_labels"] = image_path.replace(
+                "rgb", "instance_labels_ade20k_swin").replace(".jpg", ".npz")
+            if "bbox" in args.use_instance_segmentation:
+                paths["instance_areas"] = image_path.replace(
+                    "rgb", "instance_areas_ade20k_swin_bbox").replace(".jpg", ".npz")
+            else:
+                paths["instance_areas"] = image_path.replace(
+                    "rgb", "instance_areas_ade20k_swin").replace(".jpg", ".npz")
+        else:
+            paths["instance_labels"] = image_path.replace(
+                "rgb", "instance_labels_" + args.use_instance_segmentation).replace(".jpg", ".npy")
+            paths["instance_areas"] = image_path.replace(
+                "rgb", "instance_areas_" + args.use_instance_segmentation).replace(".jpg", ".npy")
+    return paths
+
+
+def _load_label_map(path: str, fallback_shape, fallback_value: int) -> np.ndarray:
+    """Load an .npy/.npz int map; npz files with no predictions fall back to a
+    constant map (reference dataloader.py:125-152)."""
+    if path.endswith(".npz"):
+        raw = np.load(path, allow_pickle=True)["arr_0"]
+        if raw is None or np.asarray(raw).ndim != 2:
+            raw = np.full(fallback_shape, fallback_value, dtype=np.int32)
+        return np.asarray(raw)
+    return np.load(path)
+
+
+class DepthDataset:
+    """Indexable dataset of dict samples with HWC numpy arrays.
+
+    mode: 'train' | 'online_eval' | 'test' (reference DataLoadPreprocess).
+    Randomness is derived from (seed, epoch, index) so any sample is
+    reproducible and epoch shuffling is deterministic.
+    """
+
+    def __init__(self, args, mode: str, seed: int = 0):
+        self.args = args
+        self.mode = mode
+        self.seed = seed
+        self.epoch = 0
+        fname = args.filenames_file_eval if mode == "online_eval" else args.filenames_file
+        with open(fname, "r") as f:
+            self.filenames = [ln for ln in f.read().splitlines() if ln.strip()]
+
+    def __len__(self):
+        return len(self.filenames)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _rng(self, idx: int) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, idx]))
+
+    # ------------------------------------------------------------------ train
+    def _getitem_train(self, idx: int):
+        args = self.args
+        rng = self._rng(idx)
+        parts = self.filenames[idx].split()
+        focal = float(parts[2])
+
+        if args.dataset == "kitti" and getattr(args, "use_right", False) and rng.random() > 0.5:
+            image_path = os.path.join(args.data_path, remove_leading_slash(parts[3]))
+            depth_path = os.path.join(args.gt_path, remove_leading_slash(parts[4]))
+            side_paths = {}
+        else:
+            image_path = os.path.join(args.data_path, remove_leading_slash(parts[0]))
+            depth_path = os.path.join(args.gt_path, remove_leading_slash(parts[1]))
+            side_paths = _derive_side_paths(image_path, args)
+
+        image = np.asarray(Image.open(image_path), dtype=np.float32)
+        depth = np.asarray(Image.open(depth_path), dtype=np.float32)
+        hw = image.shape[:2]
+
+        maps = {}
+        if "semantics" in side_paths:
+            maps["semantics"] = _load_label_map(side_paths["semantics"], hw, -1).astype(np.int32)
+        if "instance_labels" in side_paths:
+            maps["instance_labels"] = _load_label_map(
+                side_paths["instance_labels"], hw, -1).astype(np.int32)
+            maps["instance_areas"] = _load_label_map(
+                side_paths["instance_areas"], hw, 0).astype(np.int32)
+
+        # KITTI benchmark crop (reference dataloader.py:163-174)
+        if args.do_kb_crop:
+            h, w = image.shape[:2]
+            top = int(h - 352)
+            left = int((w - 1216) / 2)
+            image = image[top:top + 352, left:left + 1216]
+            depth = depth[top:top + 352, left:left + 1216]
+            maps = {k: v[top:top + 352, left:left + 1216] for k, v in maps.items()}
+
+        # NYU registration-boundary crop (reference dataloader.py:177-184):
+        # PIL box (43, 45, 608, 472) == rows 45:472, cols 43:608.
+        if args.dataset == "nyu":
+            image = image[45:472, 43:608]
+            depth = depth[45:472, 43:608]
+            maps = {k: v[45:472, 43:608] for k, v in maps.items()}
+
+        # random rotation (reference dataloader.py:186-194)
+        if args.do_random_rotate:
+            angle = (rng.random() - 0.5) * 2 * args.degree
+            image = T.rotate(image, angle, nearest=False)
+            depth = T.rotate(depth, angle, nearest=True)
+            maps = {k: T.rotate(v, angle, nearest=True) for k, v in maps.items()}
+
+        image = image / 255.0
+        depth = depth[..., None] / (1000.0 if args.dataset == "nyu" else 256.0)
+        maps = {k: v[..., None].astype(np.int32) for k, v in maps.items()}
+
+        arrays = [image, depth] + [maps[k] for k in sorted(maps)]
+        arrays = T.random_crop(rng, args.input_height, args.input_width, *arrays)
+        arrays = T.random_flip(rng, *arrays)
+        image, depth = arrays[0], arrays[1]
+        for k, v in zip(sorted(maps), arrays[2:]):
+            maps[k] = v
+
+        if rng.random() > 0.5:
+            image = T.augment_image(rng, image, args.dataset)
+
+        if args.image == "noise":  # reference dataloader.py:361-364
+            image = rng.random(image.shape, dtype=np.float32)
+
+        sample = {"image": T.normalize_image(image.astype(np.float32)),
+                  "depth": depth.astype(np.float32),
+                  "focal": np.float32(focal)}
+        sample.update(maps)
+        return sample
+
+    # ------------------------------------------------------- eval / test
+    def _getitem_eval(self, idx: int):
+        args = self.args
+        parts = self.filenames[idx].split()
+        focal = float(parts[2])
+        data_path = args.data_path_eval if self.mode == "online_eval" else args.data_path
+
+        image_path = os.path.join(data_path, remove_leading_slash(parts[0]))
+        image = np.asarray(Image.open(image_path), dtype=np.float32) / 255.0
+        hw = image.shape[:2]
+
+        maps = {}
+        side_paths = _derive_side_paths(image_path, args)
+        if "semantics" in side_paths:
+            maps["semantics"] = _load_label_map(side_paths["semantics"], hw, -1).astype(np.int32)
+        if "instance_labels" in side_paths:
+            maps["instance_labels"] = _load_label_map(
+                side_paths["instance_labels"], hw, -1).astype(np.int32)
+            maps["instance_areas"] = _load_label_map(
+                side_paths["instance_areas"], hw, 0).astype(np.int32)
+
+        sample = {"focal": np.float32(focal), "image_path": parts[0]}
+
+        if self.mode == "online_eval":
+            gt_path = os.path.join(args.gt_path_eval, remove_leading_slash(parts[1]))
+            sample["depth_path"] = parts[1]
+            try:
+                depth = np.asarray(Image.open(gt_path), dtype=np.float32)[..., None]
+                depth = depth / (1000.0 if args.dataset == "nyu" else 256.0)
+                has_valid_depth = True
+            except (IOError, FileNotFoundError):
+                depth = np.zeros((*hw, 1), dtype=np.float32)
+                has_valid_depth = False
+            sample["has_valid_depth"] = has_valid_depth
+        else:
+            depth = None
+
+        if args.do_kb_crop:
+            h, w = image.shape[:2]
+            top = int(h - 352)
+            left = int((w - 1216) / 2)
+            image = image[top:top + 352, left:left + 1216]
+            maps = {k: v[top:top + 352, left:left + 1216] for k, v in maps.items()}
+            if depth is not None and sample.get("has_valid_depth", False):
+                depth = depth[top:top + 352, left:left + 1216]
+
+        if getattr(args, "image", "rgb") == "noise":
+            rng = self._rng(idx)
+            image = rng.random(image.shape, dtype=np.float32)
+
+        sample["image"] = T.normalize_image(image.astype(np.float32))
+        if depth is not None:
+            sample["depth"] = depth.astype(np.float32)
+        sample.update({k: v[..., None].astype(np.int32) for k, v in maps.items()})
+        return sample
+
+    def __getitem__(self, idx: int):
+        if self.mode == "train":
+            return self._getitem_train(idx)
+        return self._getitem_eval(idx)
+
+
+class DepthDataLoader:
+    """Mode-dispatching loader facade (reference dataloader.py:29-62).
+
+    .data iterates batched dict samples (numpy, NHWC); train mode shuffles
+    per epoch with a deterministic permutation and drops the ragged tail so
+    batch shapes stay static for XLA.
+    """
+
+    def __init__(self, args, mode: str, seed: Optional[int] = None):
+        seed = seed if seed is not None else getattr(args, "seed", 0)
+        self.mode = mode
+        self.args = args
+        self.dataset = DepthDataset(args, mode, seed=seed)
+        if mode == "train":
+            self.batch_size = args.batch_size
+            self.drop_last = True
+            self.shuffle = True
+        else:
+            self.batch_size = getattr(args, "eval_batch_size", 1)
+            self.drop_last = False
+            self.shuffle = False
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+        self.dataset.set_epoch(epoch)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self):
+        n = len(self.dataset)
+        if not self.shuffle:
+            return np.arange(n)
+        rng = np.random.default_rng(np.random.SeedSequence([self.seed, self._epoch, 0xD5]))
+        return rng.permutation(n)
+
+    def __iter__(self):
+        order = self._order()
+        n = len(self)
+        from concurrent.futures import ThreadPoolExecutor
+        workers = max(1, int(getattr(self.args, "num_threads", 4)))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for b in range(n):
+                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                samples = list(pool.map(self.dataset.__getitem__, idxs))
+                yield collate(samples)
+
+    @property
+    def data(self):
+        return self
+
+
+def collate(samples):
+    """Stack a list of sample dicts into a batch dict of NHWC arrays."""
+    batch = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], (str,)):
+            batch[key] = vals
+        elif np.isscalar(vals[0]) or np.asarray(vals[0]).ndim == 0:
+            batch[key] = np.asarray(vals)
+        else:
+            batch[key] = np.stack(vals, axis=0)
+    return batch

@@ -1,0 +1,211 @@
+"""EfficientNet encoder (tf_efficientnet_b1_ap / b5_ap), flax/NHWC.
+
+The reference pulls `tf_efficientnet_{b1,b5}_ap` from torch.hub
+(reference models/unet_adaptive_bins.py:315-330) and walks its module dict to
+collect every intermediate feature map (models/unet_adaptive_bins.py:103-116).
+Here the architecture is re-derived from the EfficientNet recipe
+(arXiv 1905.11946: width/depth compounding over the B0 stage table) rather
+than ported: NHWC layout, lax 'SAME' padding (the TF semantics the reference
+re-implements by hand in torch at unet_adaptive_bins.py:11-36 — native in XLA),
+bf16 activations / f32 params, stochastic depth via per-block Bernoulli masks.
+
+The encoder returns the same feature-list indexing contract the decoder
+relies on (reference unet_adaptive_bins.py:84-85):
+    features[0]  input
+    features[1]  conv_stem out          features[2] stem BN out
+    features[3]  stem act out
+    features[4..10]  the 7 MBConv stage outputs
+    features[11] conv_head out          features[12] head BN  features[13] head act
+"""
+
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# B0 stage table: (expand_ratio, kernel, stride, base_channels, base_repeats)
+_B0_STAGES = (
+    (1, 3, 1, 16, 1),
+    (6, 3, 2, 24, 2),
+    (6, 5, 2, 40, 2),
+    (6, 3, 2, 80, 3),
+    (6, 5, 1, 112, 3),
+    (6, 5, 2, 192, 4),
+    (6, 3, 1, 320, 1),
+)
+
+EFFICIENTNET_CONFIGS = {
+    # name: (width_mult, depth_mult)
+    "efficientnet-b1": (1.0, 1.1),
+    "efficientnet-b5": (1.6, 2.2),
+}
+
+_BN_EPS_TF = 1e-3  # tf_ variants use eps 1e-3
+
+
+def round_channels(channels: float, multiplier: float, divisor: int = 8) -> int:
+    """EfficientNet channel rounding (round-to-divisor, never below 90%)."""
+    channels *= multiplier
+    new_c = max(divisor, int(channels + divisor / 2) // divisor * divisor)
+    if new_c < 0.9 * channels:
+        new_c += divisor
+    return int(new_c)
+
+
+def round_repeats(repeats: int, multiplier: float) -> int:
+    return int(math.ceil(repeats * multiplier))
+
+
+def _drop_path(x, rate: float, deterministic: bool, rng):
+    """Stochastic depth on the residual branch (per-sample Bernoulli)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, mask_shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class SqueezeExcite(nn.Module):
+    """SE gate; reduction is computed from the block *input* channels
+    (gen-efficientnet convention), passed in as reduced_chs."""
+    reduced_chs: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        gates = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(self.dtype)
+        gates = nn.Conv(self.reduced_chs, (1, 1), name="conv_reduce", dtype=self.dtype)(gates)
+        gates = nn.silu(gates)
+        gates = nn.Conv(x.shape[-1], (1, 1), name="conv_expand", dtype=self.dtype)(gates)
+        return x * nn.sigmoid(gates)
+
+
+class DepthwiseSeparableBlock(nn.Module):
+    """Stage-0 block: dw conv -> BN -> SiLU -> SE -> pw conv -> BN (+skip)."""
+    out_chs: int
+    kernel: int
+    stride: int
+    se_reduced_chs: int
+    drop_path_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        shortcut = x
+        in_chs = x.shape[-1]
+        y = nn.Conv(in_chs, (self.kernel, self.kernel), strides=self.stride,
+                    padding="SAME", feature_group_count=in_chs, use_bias=False,
+                    name="conv_dw", dtype=self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
+                         momentum=0.99, name="bn1", dtype=jnp.float32)(y)
+        y = nn.silu(y).astype(self.dtype)
+        y = SqueezeExcite(self.se_reduced_chs, dtype=self.dtype, name="se")(y)
+        y = nn.Conv(self.out_chs, (1, 1), use_bias=False, name="conv_pw",
+                    dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
+                         momentum=0.99, name="bn2", dtype=jnp.float32)(y).astype(self.dtype)
+        if self.stride == 1 and in_chs == self.out_chs:
+            rng = self.make_rng("drop_path") if train and self.drop_path_rate > 0 else None
+            y = _drop_path(y, self.drop_path_rate, not train, rng) + shortcut
+        return y
+
+
+class InvertedResidualBlock(nn.Module):
+    """MBConv: pw expand -> dw -> SE -> pw project, with skip + drop-path."""
+    out_chs: int
+    kernel: int
+    stride: int
+    expand_ratio: int
+    se_reduced_chs: int
+    drop_path_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        shortcut = x
+        in_chs = x.shape[-1]
+        mid_chs = in_chs * self.expand_ratio
+
+        y = nn.Conv(mid_chs, (1, 1), use_bias=False, name="conv_pw", dtype=self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
+                         momentum=0.99, name="bn1", dtype=jnp.float32)(y)
+        y = nn.silu(y).astype(self.dtype)
+
+        y = nn.Conv(mid_chs, (self.kernel, self.kernel), strides=self.stride,
+                    padding="SAME", feature_group_count=mid_chs, use_bias=False,
+                    name="conv_dw", dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
+                         momentum=0.99, name="bn2", dtype=jnp.float32)(y)
+        y = nn.silu(y).astype(self.dtype)
+
+        y = SqueezeExcite(self.se_reduced_chs, dtype=self.dtype, name="se")(y)
+
+        y = nn.Conv(self.out_chs, (1, 1), use_bias=False, name="conv_pwl", dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
+                         momentum=0.99, name="bn3", dtype=jnp.float32)(y).astype(self.dtype)
+
+        if self.stride == 1 and in_chs == self.out_chs:
+            rng = self.make_rng("drop_path") if train and self.drop_path_rate > 0 else None
+            y = _drop_path(y, self.drop_path_rate, not train, rng) + shortcut
+        return y
+
+
+class EfficientNetEncoder(nn.Module):
+    """EfficientNet trunk returning the full intermediate-feature list.
+
+    in_chs is implicit (taken from the input); when cue channels are inserted
+    at the network input (reference unet_adaptive_bins.py:333-354 widens
+    conv_stem), the stem here simply sees more channels — the converted
+    pretrained RGB kernel slots into channels 0:3 at load time.
+    """
+    arch: str = "efficientnet-b1"
+    drop_path_rate: float = 0.2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
+        width, depth = EFFICIENTNET_CONFIGS[self.arch]
+        stem_chs = round_channels(32, width)
+        head_chs = round_channels(1280, width)
+
+        features = [x]
+        y = nn.Conv(stem_chs, (3, 3), strides=2, padding="SAME", use_bias=False,
+                    name="conv_stem", dtype=self.dtype)(x.astype(self.dtype))
+        features.append(y)
+        y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
+                         momentum=0.99, name="bn1", dtype=jnp.float32)(y)
+        features.append(y)
+        y = nn.silu(y).astype(self.dtype)
+        features.append(y)
+
+        total_blocks = sum(round_repeats(r, depth) for (_, _, _, _, r) in _B0_STAGES)
+        block_idx = 0
+        for stage_i, (expand, kernel, stride, base_c, base_r) in enumerate(_B0_STAGES):
+            out_chs = round_channels(base_c, width)
+            repeats = round_repeats(base_r, depth)
+            for rep in range(repeats):
+                s = stride if rep == 0 else 1
+                in_chs = y.shape[-1]
+                se_reduced = max(1, int(in_chs * 0.25))
+                dp_rate = self.drop_path_rate * block_idx / total_blocks
+                name = f"blocks_{stage_i}_{rep}"
+                if expand == 1:
+                    y = DepthwiseSeparableBlock(out_chs, kernel, s, se_reduced,
+                                                dp_rate, self.dtype, name=name)(y, train)
+                else:
+                    y = InvertedResidualBlock(out_chs, kernel, s, expand, se_reduced,
+                                              dp_rate, self.dtype, name=name)(y, train)
+                block_idx += 1
+            features.append(y)
+
+        y = nn.Conv(head_chs, (1, 1), use_bias=False, name="conv_head", dtype=self.dtype)(y)
+        features.append(y)
+        y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
+                         momentum=0.99, name="bn2", dtype=jnp.float32)(y)
+        features.append(y)
+        y = nn.silu(y).astype(self.dtype)
+        features.append(y)
+        return features
