@@ -1,0 +1,148 @@
+"""Official-split evaluation driver (reference evaluate.py:50-156).
+
+Single forward per image (the reference's predict_tta does no actual TTA —
+evaluate.py:50-71), align-corners resize to GT, clamp + NaN/Inf scrub,
+optional 16-bit png dump, eigen/garg-crop masked metrics, rounded printout.
+Metrics run on device (ops/metrics.py) so the loop streams without per-image
+host round-trips.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from .checkpoint import load_checkpoint
+from .cues import InstanceEmbedder, SemanticsEmbedder
+from .data import DepthDataLoader
+from .models import build_model
+from .ops.metrics import eval_mask
+from .train.loop import make_eval_step
+from .train.state import TrainState
+from .utils import RunningAverageDict
+
+
+def _save_prediction(final_hw: np.ndarray, image_path: str, args):
+    """16-bit png prediction dump (reference evaluate.py:114-126)."""
+    if args.dataset == "nyu":
+        impath = image_path.replace("/", "__").replace(".jpg", "")
+        factor = 1000
+    else:
+        dpath = image_path.split("/")
+        impath = dpath[1] + "_" + dpath[-1]
+        impath = impath.split(".")[0]
+        factor = 256
+    pred_path = os.path.join(args.save_dir, f"{impath}.png")
+    Image.fromarray((final_hw * factor).astype("uint16")).save(pred_path)
+
+
+def evaluate(args, state=None, max_batches=None):
+    """Run the official-split eval; prints and returns the rounded metrics."""
+    model = build_model(args, dtype=jnp.float32)
+    sem_embedder = SemanticsEmbedder(args) if args.use_semantics else None
+    inst_embedder = InstanceEmbedder(args) if args.use_instance_segmentation else None
+
+    if state is None:
+        state = _load_eval_state(args, model)
+
+    loader = DepthDataLoader(args, "online_eval")
+    eval_step = make_eval_step(model, args, sem_embedder, inst_embedder)
+    predict_fn = _make_predict_fn(model, args, sem_embedder, inst_embedder) \
+        if args.save_dir is not None else None
+
+    if args.save_dir is not None:
+        os.makedirs(args.save_dir, exist_ok=True)
+
+    metrics = RunningAverageDict()
+    total_invalid = 0
+    crop_cache = {}
+    for i, batch in enumerate(loader):
+        if max_batches is not None and i >= max_batches:
+            break
+        if predict_fn is not None:
+            final = np.asarray(predict_fn(state.params, state.batch_stats,
+                                          _arrays(batch)))[0, ..., 0]
+            _save_prediction(final, batch["image_path"][0], args)
+        if "has_valid_depth" in batch and not np.all(batch["has_valid_depth"]):
+            total_invalid += int(np.sum(~np.asarray(batch["has_valid_depth"])))
+            continue
+        hw = batch["depth"].shape[1:3]
+        if hw not in crop_cache:
+            crop_cache[hw] = jnp.asarray(eval_mask(hw, args.dataset,
+                                                   args.garg_crop, args.eigen_crop))
+        _, m = eval_step(state.params, state.batch_stats, _arrays(batch), crop_cache[hw])
+        metrics.update({k: float(v) for k, v in m.items()})
+
+    print(f"Total invalid: {total_invalid}")
+    rounded = {k: round(v, 3) for k, v in metrics.get_value().items()}
+    print(f"Metrics: {rounded}")
+    return rounded
+
+
+def _arrays(batch):
+    return {k: v for k, v in batch.items()
+            if k in ("image", "depth", "semantics", "instance_labels", "instance_areas")}
+
+
+def _make_predict_fn(model, args, sem_embedder, inst_embedder):
+    from .ops.resize import resize_bilinear_align_corners
+    from .train.loop import _embed_cues
+    min_d, max_d = float(args.min_depth_eval), float(args.max_depth_eval)
+
+    @jax.jit
+    def predict(params, batch_stats, batch):
+        sem, lab, areas = _embed_cues(batch, sem_embedder, inst_embedder)
+        _, pred = model.apply({"params": params, "batch_stats": batch_stats},
+                              batch["image"], sem, lab, areas, train=False)
+        pred = resize_bilinear_align_corners(pred, batch["depth"].shape[1:3])
+        pred = jnp.clip(pred, min_d, max_d)
+        pred = jnp.where(jnp.isinf(pred), max_d, pred)
+        pred = jnp.where(jnp.isnan(pred), min_d, pred)
+        return pred
+
+    return predict
+
+
+def _load_eval_state(args, model):
+    """Load an orbax checkpoint dir or a converted/reference torch .pt file."""
+    path = args.checkpoint_path
+    if os.path.isdir(path):
+        rng = jax.random.PRNGKey(0)
+        h, w = args.input_height, args.input_width
+        dummy = _dummy_inputs(args, h, w)
+        variables = model.init({"params": rng}, *dummy)
+        from .train.state import TrainState
+        import optax
+        template = TrainState.create(apply_fn=model.apply,
+                                     params=variables["params"],
+                                     tx=optax.identity(),
+                                     batch_stats=variables.get("batch_stats", {}))
+        state, _ = load_checkpoint(path, template)
+        return state
+    # torch checkpoint
+    from .checkpoint import convert_reference_checkpoint
+    params, stats = convert_reference_checkpoint(path, args.encoder_name)
+    import optax
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    stats = jax.tree_util.tree_map(jnp.asarray, stats)
+    return TrainState.create(apply_fn=model.apply, params=params,
+                             tx=optax.identity(), batch_stats=stats)
+
+
+def _dummy_inputs(args, h, w):
+    from .models import get_num_channels_to_add
+    img = jnp.zeros((1, h, w, 3), jnp.float32)
+    sem = lab = areas = None
+    if args.use_semantics:
+        n = 26 if "inst-areas" in args.use_semantics else (
+            300 if args.use_semantics == "glove" else
+            (28 if "human-sizes" in args.use_semantics else
+             (1 if "raw" in args.use_semantics else 25)))
+        sem = jnp.zeros((1, h, w, n), jnp.float32)
+    if args.use_instance_segmentation:
+        lab = jnp.zeros((1, h, w, 25), jnp.float32)
+        a_ch = 4 if "human_sizes" in args.use_instance_segmentation else 1
+        areas = jnp.zeros((1, h, w, a_ch), jnp.float32)
+    return img, sem, lab, areas

@@ -1,0 +1,237 @@
+"""HRNetV2-W48 + C1 semantic segmentation (flax, NHWC) — the offline
+semantics-cue generator.
+
+Behavioral re-derivation of the CSAILVision stack the reference vendors
+(semantic-segmentation-pytorch/mit_semseg/models/hrnet.py:259-445, models.py:363-385):
+4-parallel-resolution trunk (W48: branch channels 48/96/192/384), SUM-fused
+exchange units with half-pixel bilinear upsamples, 720-channel concat head,
+C1 decoder (3x3 conv 720->180 + 1x1 -> 150 classes, softmax, upsample to
+segSize). Multi-scale test protocol from
+semantic-segmentation-pytorch/test.py:60-103 + dataset.py:225-296: short side
+in {300..600}, long side <= 1000, pad to /32, average the per-scale softmax
+scores at full image size, argmax, save semantic_seg_<n>.npy.
+
+TPU-first: all exchange-unit upsamples are the framework's matmul resizes,
+BN is inference-mode affine, and the whole per-scale forward is one jit with
+static padded shapes (the /32-padded sizes form a tiny set, so recompiles are
+bounded).
+"""
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.resize import resize_bilinear_half_pixel
+
+_BN_EPS = 1e-5
+_STAGE_CFG = {
+    # stage: (num_modules, branch_channels, blocks_per_branch)
+    2: (1, (48, 96), 4),
+    3: (4, (48, 96, 192), 4),
+    4: (3, (48, 96, 192, 384), 4),
+}
+
+
+def _bn(train: bool, name: str):
+    return nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS,
+                        momentum=0.9, name=name, dtype=jnp.float32)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1", dtype=self.dtype)(x)
+        y = nn.relu(_bn(train, "bn1")(y).astype(self.dtype))
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                    use_bias=False, name="conv2", dtype=self.dtype)(y)
+        y = nn.relu(_bn(train, "bn2")(y).astype(self.dtype))
+        y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3", dtype=self.dtype)(y)
+        y = _bn(train, "bn3")(y).astype(self.dtype)
+        if self.has_downsample:
+            residual = nn.Conv(self.planes * 4, (1, 1), strides=self.stride,
+                               use_bias=False, name="downsample_conv", dtype=self.dtype)(x)
+            residual = _bn(train, "downsample_bn")(residual).astype(self.dtype)
+        return nn.relu(y + residual)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv1",
+                    dtype=self.dtype)(x)
+        y = nn.relu(_bn(train, "bn1")(y).astype(self.dtype))
+        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2",
+                    dtype=self.dtype)(y)
+        y = _bn(train, "bn2")(y).astype(self.dtype)
+        return nn.relu(y + x)
+
+
+class ExchangeUnit(nn.Module):
+    """One HighResolutionModule: per-branch BasicBlock chains + SUM fusion
+    (hrnet.py:226-250)."""
+    channels: Sequence[int]
+    num_blocks: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        n = len(self.channels)
+        ys = []
+        for i, x in enumerate(xs):
+            for b in range(self.num_blocks):
+                x = BasicBlock(self.channels[i], self.dtype,
+                               name=f"branch{i}_block{b}")(x, train)
+            ys.append(x)
+
+        fused = []
+        for i in range(n):
+            acc = None
+            for j in range(n):
+                if j == i:
+                    t = ys[j]
+                elif j > i:
+                    # 1x1 conv + BN, then half-pixel bilinear upsample
+                    t = nn.Conv(self.channels[i], (1, 1), use_bias=False,
+                                name=f"fuse{i}_{j}_conv", dtype=self.dtype)(ys[j])
+                    t = _bn(train, f"fuse{i}_{j}_bn")(t).astype(self.dtype)
+                    t = resize_bilinear_half_pixel(t, ys[i].shape[1:3])
+                else:
+                    # chain of stride-2 3x3 convs; ReLU between, none at end
+                    t = ys[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        out_ch = self.channels[i] if last else self.channels[j]
+                        t = nn.Conv(out_ch, (3, 3), strides=2, padding=1,
+                                    use_bias=False, name=f"fuse{i}_{j}_conv{k}",
+                                    dtype=self.dtype)(t)
+                        t = _bn(train, f"fuse{i}_{j}_bn{k}")(t).astype(self.dtype)
+                        if not last:
+                            t = nn.relu(t)
+                acc = t if acc is None else acc + t
+            fused.append(nn.relu(acc))
+        return fused
+
+
+class HRNetV2Trunk(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(64, (3, 3), strides=2, padding=1, use_bias=False,
+                    name="conv1", dtype=self.dtype)(x.astype(self.dtype))
+        y = nn.relu(_bn(train, "bn1")(y).astype(self.dtype))
+        y = nn.Conv(64, (3, 3), strides=2, padding=1, use_bias=False,
+                    name="conv2", dtype=self.dtype)(y)
+        y = nn.relu(_bn(train, "bn2")(y).astype(self.dtype))
+
+        for b in range(4):
+            y = Bottleneck(64, has_downsample=(b == 0), dtype=self.dtype,
+                           name=f"layer1_block{b}")(y, train)
+
+        # transition1: 256 -> [48, 96(s2)]
+        x0 = nn.Conv(48, (3, 3), padding=1, use_bias=False,
+                     name="transition1_0_conv", dtype=self.dtype)(y)
+        x0 = nn.relu(_bn(train, "transition1_0_bn")(x0).astype(self.dtype))
+        x1 = nn.Conv(96, (3, 3), strides=2, padding=1, use_bias=False,
+                     name="transition1_1_conv", dtype=self.dtype)(y)
+        x1 = nn.relu(_bn(train, "transition1_1_bn")(x1).astype(self.dtype))
+        xs = [x0, x1]
+
+        for stage in (2, 3, 4):
+            num_modules, channels, num_blocks = _STAGE_CFG[stage]
+            if stage > 2:
+                # new branch from the previous last branch, stride 2
+                new_ch = channels[-1]
+                t = nn.Conv(new_ch, (3, 3), strides=2, padding=1, use_bias=False,
+                            name=f"transition{stage - 1}_{len(xs)}_conv",
+                            dtype=self.dtype)(xs[-1])
+                t = nn.relu(_bn(train, f"transition{stage - 1}_{len(xs)}_bn")(t)
+                            .astype(self.dtype))
+                xs = xs + [t]
+            for m in range(num_modules):
+                xs = ExchangeUnit(channels, num_blocks, self.dtype,
+                                  name=f"stage{stage}_module{m}")(xs, train)
+
+        hw = xs[0].shape[1:3]
+        ups = [xs[0]] + [resize_bilinear_half_pixel(x, hw) for x in xs[1:]]
+        return jnp.concatenate(ups, axis=-1)  # 48+96+192+384 = 720 channels
+
+
+class HRNetV2C1(nn.Module):
+    """Full segmentation module: trunk + C1 head. Returns per-pixel softmax
+    scores at seg_size (models.py:363-385)."""
+    num_classes: int = 150
+    fc_dim: int = 720
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, seg_size=None, train: bool = False):
+        feats = HRNetV2Trunk(self.dtype, name="encoder")(x, train)
+        y = nn.Conv(self.fc_dim // 4, (3, 3), padding=1, use_bias=False,
+                    name="cbr_conv", dtype=self.dtype)(feats)
+        y = nn.relu(_bn(train, "cbr_bn")(y).astype(self.dtype))
+        y = nn.Conv(self.num_classes, (1, 1), name="conv_last", dtype=self.dtype)(y)
+        y = y.astype(jnp.float32)
+        if seg_size is not None:
+            y = resize_bilinear_half_pixel(y, seg_size)
+            return jax.nn.softmax(y, axis=-1)
+        return jax.nn.log_softmax(y, axis=-1)
+
+
+# --------------------------------------------------------------- inference
+
+IMG_SIZES = (300, 375, 450, 525, 600)
+IMG_MAX_SIZE = 1000
+PADDING_CONSTANT = 32
+
+
+def round2nearest_multiple(x: int, p: int) -> int:
+    return ((x - 1) // p + 1) * p
+
+
+def _scale_plan(h: int, w: int):
+    """Per-scale resized + padded sizes (dataset.py:121-142, 225-233)."""
+    plan = []
+    for short in IMG_SIZES:
+        scale = min(short / float(min(h, w)), IMG_MAX_SIZE / float(max(h, w)))
+        th, tw = int(h * scale), int(w * scale)
+        plan.append(((th, tw),
+                     (round2nearest_multiple(th, PADDING_CONSTANT),
+                      round2nearest_multiple(tw, PADDING_CONSTANT))))
+    return plan
+
+
+def hrnet_multiscale_inference(apply_fn, variables, img_hwc01: np.ndarray,
+                               num_classes: int = 150) -> np.ndarray:
+    """Multi-scale averaged segmentation of one [0,1] float RGB image.
+
+    apply_fn(variables, x_nhwc, seg_size) -> (1, H, W, num_classes) softmax.
+    Returns the argmax class map (H, W) int32, matching test.py:60-103.
+    """
+    from ..data.transforms import normalize_image
+    from PIL import Image
+
+    h, w = img_hwc01.shape[:2]
+    scores = np.zeros((h, w, num_classes), dtype=np.float32)
+    pil = Image.fromarray((np.clip(img_hwc01, 0, 1) * 255).astype(np.uint8))
+    for (th, tw), (ph, pw) in _scale_plan(h, w):
+        resized = np.asarray(pil.resize((tw, th), Image.BILINEAR),
+                             dtype=np.float32) / 255.0
+        x = normalize_image(resized)
+        pad = np.zeros((ph, pw, 3), dtype=np.float32)
+        pad[:th, :tw] = x
+        out = apply_fn(variables, jnp.asarray(pad[None]), (h, w))
+        scores += np.asarray(out[0]) / len(IMG_SIZES)
+    return np.argmax(scores, axis=-1).astype(np.int32)

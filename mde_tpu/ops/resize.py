@@ -79,6 +79,39 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     return y.astype(dtype)
 
 
+@functools.lru_cache(maxsize=128)
+def _linear_weights_half_pixel(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) bilinear weights, torch align_corners=False
+    (half-pixel centers, edge-clamped)."""
+    scale = in_size / out_size
+    src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    lo = np.clip(lo, 0, max(in_size - 2, 0))
+    frac = np.clip(src - lo, 0.0, 1.0)
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    rows = np.arange(out_size)
+    w[rows, lo] = 1.0 - frac
+    w[rows, np.minimum(lo + 1, in_size - 1)] += frac
+    return w.astype(np.float32)
+
+
+def resize_bilinear_half_pixel(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Bilinear align_corners=False resize of (..., H, W, C) — the HRNet /
+    mmdetection interpolation convention."""
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    h, w = x.shape[-3], x.shape[-2]
+    if (h, w) == (out_h, out_w):
+        return x
+    dtype = x.dtype
+    wh = jnp.asarray(_linear_weights_half_pixel(h, out_h))
+    ww = jnp.asarray(_linear_weights_half_pixel(w, out_w))
+    xf = x.astype(jnp.float32)
+    y = jnp.einsum('oh,...hwc->...owc', wh, xf, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum('pw,...owc->...opc', ww, y, precision=jax.lax.Precision.HIGHEST)
+    return y.astype(dtype)
+
+
 def resize_nearest(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     """torch mode='nearest' resize of (..., H, W, C)."""
     out_h, out_w = int(out_hw[0]), int(out_hw[1])

@@ -1,0 +1,148 @@
+"""End-to-end training driver (the reference's train.py:264-502 equivalents).
+
+One process drives the whole mesh: no mp.spawn, no process groups, no DDP
+wrapper — `main_train(args)` builds the mesh, shards batches over the data
+axis, and runs the jitted step. Checkpoints (latest per validation, best on
+abs_rel) and scalar/figure logging match the reference cadence
+(train.py:432-499).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoint import load_backbone_npz, save_checkpoint
+from ..cues import InstanceEmbedder, SemanticsEmbedder
+from ..data import DepthDataLoader
+from ..data.prefetch import DevicePrefetcher
+from ..models import build_model
+from ..parallel import (batch_sharding, make_mesh, replicated_sharding,
+                        shard_batch_size)
+from ..parallel.mesh import maybe_init_distributed
+from ..train.loop import make_eval_step, make_train_step, make_run_id, validate
+from ..train.state import create_train_state
+from ..utils import setup_exp_dir
+from ..utils.graphs import GraphBuilderNYUD2, visualize_semantics
+from ..utils.logging import SummaryLogger
+
+
+def _sample_model_inputs(args, batch, sem_embedder, inst_embedder):
+    """Build the positional model inputs (image, semantics, instance_labels,
+    instance_areas) for init from a host batch."""
+    from ..train.loop import _embed_cues
+    sem, lab, areas = _embed_cues(batch, sem_embedder, inst_embedder)
+    return (jnp.asarray(batch["image"]), sem, lab, areas)
+
+
+def _apply_pretrained_backbone(state, args, compute_dtype):
+    path = getattr(args, "pretrained_backbone", None)
+    if not path:
+        return state
+    params, stats = load_backbone_npz(path)
+    new_params = dict(state.params)
+    enc = jax.tree_util.tree_map(jnp.asarray, params)
+    cur_enc = state.params["encoder"]
+    # input-insertion: widen the stem kernel, pretrained RGB slice first
+    stem = enc["conv_stem"]["kernel"]
+    cur_stem = cur_enc["conv_stem"]["kernel"]
+    if stem.shape != cur_stem.shape:
+        widened = np.asarray(cur_stem).copy()
+        widened[:, :, :stem.shape[2], :] = np.asarray(stem)[:, :, :widened.shape[2], :]
+        enc["conv_stem"]["kernel"] = jnp.asarray(widened)
+    new_params["encoder"] = enc
+    new_stats = dict(state.batch_stats)
+    new_stats["encoder"] = jax.tree_util.tree_map(jnp.asarray, stats)
+    return state.replace(params=jax.tree_util.tree_map(lambda x: x, new_params),
+                         batch_stats=new_stats)
+
+
+def main_train(args, max_steps=None, interactive=True):
+    """Train per the parsed args; returns final TrainState."""
+    maybe_init_distributed(args)
+    mesh = make_mesh(getattr(args, "mesh_shape", None))
+    data_sh = batch_sharding(mesh)
+
+    args.batch_size = shard_batch_size(args.bs, mesh,
+                                       getattr(args, "use_new_batching", False))
+
+    compute_dtype = jnp.bfloat16 if getattr(args, "compute_dtype", "bfloat16") == "bfloat16" \
+        else jnp.float32
+    model = build_model(args, dtype=compute_dtype)
+
+    sem_embedder = SemanticsEmbedder(args) if args.use_semantics else None
+    inst_embedder = InstanceEmbedder(args) if args.use_instance_segmentation else None
+
+    train_loader = DepthDataLoader(args, "train")
+    test_loader = DepthDataLoader(args, "online_eval")
+    steps_per_epoch = len(train_loader)
+    if steps_per_epoch == 0:
+        raise ValueError("empty training split")
+
+    rng = jax.random.PRNGKey(getattr(args, "seed", 42))
+    first_batch = next(iter(train_loader))
+    init_inputs = _sample_model_inputs(args, first_batch, sem_embedder, inst_embedder)
+    with jax.default_device(jax.devices()[0]):
+        state = create_train_state(model, args, rng, init_inputs, steps_per_epoch)
+    state = _apply_pretrained_backbone(state, args, compute_dtype)
+    # replicate state over the mesh
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    train_step = make_train_step(model, args, sem_embedder, inst_embedder, mesh)
+    eval_step = make_eval_step(model, args, sem_embedder, inst_embedder)
+
+    run_id = make_run_id(args)
+    experiment_name = args.name
+    exp_dir = getattr(args, "exp_dir", None)
+    if exp_dir is None:
+        os.makedirs(args.root, exist_ok=True)
+        exp_dir = setup_exp_dir(args.root, args.name, interactive=interactive)
+        args.exp_dir = exp_dir
+    logger = SummaryLogger(exp_dir)
+    graph_builder = GraphBuilderNYUD2(
+        num_samples=2, semantics=args.use_semantics is not None,
+        instance_labels=args.use_instance_segmentation is not None)
+
+    best_loss = np.inf
+    step = 0
+    step_rng = jax.random.PRNGKey(getattr(args, "seed", 42) + 1)
+
+    for epoch in range(args.epochs):
+        logger.add_scalar("Epoch", epoch, step)
+        train_loader.set_epoch(epoch)
+        prefetcher = DevicePrefetcher(train_loader, sharding=data_sh)
+        for batch in prefetcher:
+            state, metrics = train_step(state, _device_batch(batch),
+                                        jax.random.fold_in(step_rng, step))
+
+            if step % 5 == 0:
+                logger.add_scalar("Train/Loss", float(metrics["loss"]), step)
+                logger.add_scalar("Train/SILog", float(metrics["silog"]), step)
+                logger.add_scalar("Train/ChamferLoss", float(metrics["chamfer"]), step)
+            step += 1
+
+            if step % args.validate_every == 0 or (max_steps and step >= max_steps):
+                m, val_si = validate(args, eval_step, state, test_loader,
+                                     max_batches=getattr(args, "max_val_batches", None))
+                logger.add_scalar("Test/SILog", val_si.get_value(), step)
+                for k, v in m.items():
+                    logger.add_scalar(f"Metrics/{k}", v, step)
+                save_checkpoint(state, epoch, f"{experiment_name}_{run_id}_latest",
+                                root=exp_dir)
+                if m.get("abs_rel", np.inf) < best_loss:
+                    save_checkpoint(state, epoch, f"{experiment_name}_{run_id}_best",
+                                    root=exp_dir)
+                    best_loss = m["abs_rel"]
+
+            if max_steps is not None and step >= max_steps:
+                logger.close()
+                return state
+    logger.close()
+    return state
+
+
+def _device_batch(batch):
+    """Strip non-array fields before handing the batch to jit."""
+    return {k: v for k, v in batch.items()
+            if k in ("image", "depth", "semantics", "instance_labels", "instance_areas")}

@@ -1,0 +1,144 @@
+"""Training driver: jitted sharded train step + periodic validation.
+
+The reference hot loop (train.py:387-455) does per-step H2D copies, host-side
+cue embedding, DDP all-reduce, clip, AdamW, OneCycle. Here one jitted
+`train_step` fuses the whole thing — cue embedding, forward, SILog + chamfer,
+backward, clip, AdamW with scheduled lr/beta1 — over a `data`-sharded batch;
+XLA inserts the gradient psum (the DDP all-reduce) and computes BN moments
+over the global batch (the SyncBN). The host only feeds pre-sharded batches
+through the double-buffered prefetcher and reads back scalar metrics every
+log interval, so steps never serialize on the host.
+"""
+
+import functools
+import uuid
+from datetime import datetime as dt
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cues import InstanceEmbedder, SemanticsEmbedder
+from ..data import DepthDataLoader
+from ..data.prefetch import DevicePrefetcher
+from ..ops.losses import bins_chamfer_loss, silog_loss
+from ..ops.resize import resize_bilinear_align_corners
+from ..ops.metrics import compute_errors_masked, eval_mask, METRIC_NAMES
+from ..parallel import make_mesh, batch_sharding, replicated_sharding, shard_batch_size
+from ..utils import RunningAverage, RunningAverageDict
+from .state import TrainState
+
+
+def make_run_id(args) -> str:
+    """Run-id naming convention (reference train.py:321-322)."""
+    return (f"{dt.now().strftime('%d-%h_%H-%M')}-nodebs{args.bs}-tep{args.epochs}"
+            f"-lr{args.lr}-wd{args.wd}-{uuid.uuid4()}")
+
+
+def _embed_cues(batch, sem_embedder, inst_embedder):
+    semantics = None
+    instance_labels = None
+    instance_areas = None
+    if "semantics" in batch and sem_embedder is not None:
+        _, semantics = sem_embedder(batch["semantics"])
+    if "instance_labels" in batch and inst_embedder is not None:
+        _, instance_labels, instance_areas = inst_embedder(
+            batch["instance_labels"], batch["instance_areas"])
+    return semantics, instance_labels, instance_areas
+
+
+def make_train_step(model, args, sem_embedder, inst_embedder, mesh):
+    """Build the jitted train step. State is donated; batch arrives
+    data-sharded; outputs are replicated scalars."""
+    w_chamfer = float(args.w_chamfer)
+    use_chamfer = getattr(args, "chamfer", w_chamfer > 0) and not model.no_adabins
+    min_depth = float(args.min_depth)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        semantics, instance_labels, instance_areas = _embed_cues(
+            batch, sem_embedder, inst_embedder)
+        rngs = {"dropout": jax.random.fold_in(rng, 0),
+                "drop_path": jax.random.fold_in(rng, 1)}
+        (bin_edges, pred), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], semantics, instance_labels, instance_areas,
+            train=True, rngs=rngs, mutable=["batch_stats"])
+
+        depth = batch["depth"]
+        mask = depth > min_depth
+        l_dense = silog_loss(pred, depth, mask, interpolate=True)
+        if use_chamfer and bin_edges is not None:
+            l_chamfer = bins_chamfer_loss(bin_edges, depth)
+        else:
+            l_chamfer = jnp.float32(0.0)
+        loss = l_dense + w_chamfer * l_chamfer
+        return loss, (mutated.get("batch_stats", batch_stats), l_dense, l_chamfer)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng):
+        (loss, (new_stats, l_dense, l_chamfer)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        metrics = {"loss": loss, "silog": l_dense, "chamfer": l_chamfer}
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, args, sem_embedder, inst_embedder):
+    """Jitted eval step: forward (no TTA, matching reference validate /
+    evaluate), align-corners resize to GT, clamp+scrub, masked metrics —
+    all on device (reference train.py:505-568 round-trips to numpy per image)."""
+    min_d, max_d = float(args.min_depth_eval), float(args.max_depth_eval)
+    min_depth = float(args.min_depth)
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch, crop_mask):
+        semantics, instance_labels, instance_areas = _embed_cues(
+            batch, sem_embedder, inst_embedder)
+        _, pred = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], semantics, instance_labels, instance_areas, train=False)
+        depth = batch["depth"]
+        l_dense = silog_loss(pred, depth, depth > min_depth, interpolate=True)
+
+        pred = resize_bilinear_align_corners(pred, depth.shape[1:3])
+        pred = jnp.clip(pred, min_d, max_d)
+        pred = jnp.where(jnp.isinf(pred), max_d, pred)
+        pred = jnp.where(jnp.isnan(pred), min_d, pred)
+
+        gt = depth[..., 0]
+        pr = pred[..., 0]
+        valid = (gt > min_d) & (gt < max_d) & crop_mask[None, :, :]
+        metrics = compute_errors_masked(gt, pr, valid)
+        return l_dense, metrics
+
+    return eval_step
+
+
+def validate(args, eval_step, state, test_loader, max_batches=None):
+    """Run online validation; returns (metric dict, mean val silog)."""
+    val_si = RunningAverage()
+    metrics = RunningAverageDict()
+    crop = jnp.asarray(eval_mask(
+        (480, 640) if args.dataset == "nyu" else (352, 1216),
+        dataset=args.dataset, garg_crop=args.garg_crop, eigen_crop=args.eigen_crop))
+    for i, batch in enumerate(test_loader):
+        if max_batches is not None and i >= max_batches:
+            break
+        if "has_valid_depth" in batch and not np.all(batch["has_valid_depth"]):
+            continue
+        if batch["depth"].shape[1:3] != crop.shape:
+            crop_b = jnp.asarray(eval_mask(batch["depth"].shape[1:3], args.dataset,
+                                           args.garg_crop, args.eigen_crop))
+        else:
+            crop_b = crop
+        arrays = {k: v for k, v in batch.items()
+                  if k in ("image", "depth", "semantics", "instance_labels",
+                           "instance_areas")}
+        l_dense, m = eval_step(state.params, state.batch_stats, arrays, crop_b)
+        val_si.append(float(l_dense))
+        metrics.update({k: float(v) for k, v in m.items()})
+    vals = metrics.get_value() if metrics._dict else {k: float("nan") for k in METRIC_NAMES}
+    return vals, val_si

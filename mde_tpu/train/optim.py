@@ -26,7 +26,7 @@ def onecycle_lr_schedule(max_lr: float, total_steps: int, pct_start: float = 0.3
     initial_lr = max_lr / div_factor
     min_lr = initial_lr / final_div_factor
     step_up = float(pct_start * total_steps) - 1.0
-    step_down = float(total_steps - pct_start * total_steps) - 1.0
+    step_down = float(total_steps - 1) - step_up
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
@@ -51,7 +51,7 @@ def onecycle_momentum_schedule(total_steps: int, base_momentum: float = 0.85,
                                max_momentum: float = 0.95, pct_start: float = 0.3) -> Callable:
     """Momentum (beta1) cycling opposite to lr: max -> base -> max."""
     step_up = float(pct_start * total_steps) - 1.0
-    step_down = float(total_steps - pct_start * total_steps) - 1.0
+    step_down = float(total_steps - 1) - step_up
 
     def cos_anneal(start, end, pct):
         return end + (start - end) / 2.0 * (jnp.cos(math.pi * pct) + 1.0)

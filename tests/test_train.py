@@ -1,0 +1,116 @@
+"""Train-loop integration tests: optimizer schedule parity vs torch OneCycleLR,
+sharded-step execution on the 8-device virtual mesh, and 1-vs-N device loss
+parity (SURVEY.md §4's multi-chip-without-a-cluster pattern)."""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from mde_tpu.parallel import make_mesh, batch_sharding, replicated_sharding
+from mde_tpu.train.loop import make_train_step
+from mde_tpu.train.optim import (onecycle_lr_schedule, onecycle_momentum_schedule,
+                                 build_optimizer)
+from mde_tpu.train.state import create_train_state
+from mde_tpu.models import build_model
+
+
+def _args(**kw):
+    base = dict(n_bins=8, min_depth=1e-3, max_depth=10.0, norm="linear",
+                encoder_name="efficientnet-b1", use_semantics=None,
+                use_instance_segmentation=None, insertion_point="before-attn",
+                image="rgb", w_chamfer=0.1, chamfer=True, epochs=2, lr=0.000357,
+                wd=0.1, div_factor=25.0, final_div_factor=100.0, same_lr=False,
+                seed=0)
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+def test_onecycle_matches_torch():
+    total_steps = 200
+    max_lr = 0.000357
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([p], lr=max_lr)
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr, total_steps=total_steps, cycle_momentum=True,
+        base_momentum=0.85, max_momentum=0.95, div_factor=25, final_div_factor=100)
+    ours_lr = onecycle_lr_schedule(max_lr, total_steps, div_factor=25,
+                                   final_div_factor=100)
+    ours_mom = onecycle_momentum_schedule(total_steps)
+
+    for step in range(total_steps):
+        torch_lr = opt.param_groups[0]["lr"]
+        torch_b1 = opt.param_groups[0]["betas"][0]
+        np.testing.assert_allclose(float(ours_lr(step)), torch_lr, rtol=5e-5,
+                                   err_msg=f"lr mismatch at step {step}")
+        np.testing.assert_allclose(float(ours_mom(step)), torch_b1, rtol=5e-5,
+                                   err_msg=f"beta1 mismatch at step {step}")
+        opt.step()
+        sched.step()
+
+
+def test_encoder_lr_group_scaling():
+    args = _args()
+    params = {"encoder": {"w": jnp.ones((4,))}, "decoder": {"w": jnp.ones((4,))}}
+    tx, _ = build_optimizer(params, args, steps_per_epoch=10)
+    state = tx.init(params)
+    grads = {"encoder": {"w": jnp.ones((4,))}, "decoder": {"w": jnp.ones((4,))}}
+    updates, _ = tx.update(grads, state, params)
+    ratio = float(updates["encoder"]["w"][0] / updates["decoder"]["w"][0])
+    np.testing.assert_allclose(ratio, 0.1, rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    args = _args()
+    model = build_model(args, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    bs = 8
+    img = jnp.asarray(rng.standard_normal((bs, 64, 96, 3), dtype=np.float32))
+    depth = jnp.asarray(rng.random((bs, 64, 96, 1), dtype=np.float32) * 9.9 + 0.05)
+    state = create_train_state(model, args, jax.random.PRNGKey(0), (img,),
+                               steps_per_epoch=10)
+    return args, model, state, img, depth
+
+
+def _run_steps(args, model, state, img, depth, mesh, n_steps=2):
+    # deep-copy: the jitted step donates its input state, and device_put of an
+    # already-resident array can alias the fixture's buffers
+    state = jax.tree_util.tree_map(jnp.array, state)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    batch = {"image": jax.device_put(img, batch_sharding(mesh)),
+             "depth": jax.device_put(depth, batch_sharding(mesh))}
+    step = make_train_step(model, args, None, None, mesh)
+    losses = []
+    for i in range(n_steps):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100))  # same rng both runs
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_one_vs_eight_device_parity(tiny_setup):
+    args, model, state, img, depth = tiny_setup
+    mesh1 = make_mesh("1", devices=jax.devices()[:1])
+    mesh8 = make_mesh("8", devices=jax.devices()[:8])
+    l1 = _run_steps(args, model, state, img, depth, mesh1)
+    l8 = _run_steps(args, model, state, img, depth, mesh8)
+    # identical batch, identical rng: 8-way sharded step must match 1-chip step
+    np.testing.assert_allclose(l1, l8, rtol=2e-4,
+                               err_msg="sharded step diverged from single-chip step")
+    assert all(np.isfinite(l1))
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_forward():
+    import __graft_entry__
+    fn, example_args = __graft_entry__.entry()
+    edges, pred = jax.jit(fn)(*example_args)
+    assert pred.shape[0] == example_args[0].shape[0]
+    assert np.all(np.isfinite(np.asarray(pred, dtype=np.float32)))
