@@ -92,6 +92,47 @@ class DepthDataset:
         return np.random.default_rng(
             np.random.SeedSequence([self.seed, self.epoch, idx]))
 
+    # -------------------------------------------------- native-path raw loader
+    def load_raw_train(self, idx: int):
+        """Decode + boundary/kb-crop one train sample without augmentation —
+        the input contract of the native engine (data/native.py). Keeps raw
+        dtypes (u8 rgb / u16 depth / i32 cues) so the C++ pass does all float
+        work once."""
+        args = self.args
+        parts = self.filenames[idx].split()
+        image_path = os.path.join(args.data_path, remove_leading_slash(parts[0]))
+        depth_path = os.path.join(args.gt_path, remove_leading_slash(parts[1]))
+        side_paths = _derive_side_paths(image_path, args)
+
+        image = np.asarray(Image.open(image_path), dtype=np.uint8)
+        depth = np.asarray(Image.open(depth_path)).astype(np.uint16)
+        hw = image.shape[:2]
+        out = {"focal": np.float32(float(parts[2]))}
+        maps = {}
+        if "semantics" in side_paths:
+            maps["semantics"] = _load_label_map(side_paths["semantics"], hw, -1).astype(np.int32)
+        if "instance_labels" in side_paths:
+            maps["instance_labels"] = _load_label_map(
+                side_paths["instance_labels"], hw, -1).astype(np.int32)
+            maps["instance_areas"] = _load_label_map(
+                side_paths["instance_areas"], hw, 0).astype(np.int32)
+
+        if args.do_kb_crop:
+            h, w = image.shape[:2]
+            top, left = int(h - 352), int((w - 1216) / 2)
+            sl = np.s_[top:top + 352, left:left + 1216]
+            image, depth = image[sl], depth[sl]
+            maps = {k: v[sl] for k, v in maps.items()}
+        if args.dataset == "nyu":
+            sl = np.s_[45:472, 43:608]
+            image, depth = image[sl], depth[sl]
+            maps = {k: v[sl] for k, v in maps.items()}
+
+        out["rgb"] = image
+        out["depth"] = depth
+        out.update(maps)
+        return out
+
     # ------------------------------------------------------------------ train
     def _getitem_train(self, idx: int):
         args = self.args
@@ -270,16 +311,105 @@ class DepthDataLoader:
         rng = np.random.default_rng(np.random.SeedSequence([self.seed, self._epoch, 0xD5]))
         return rng.permutation(n)
 
+    def _use_native(self) -> bool:
+        if self.mode != "train" or getattr(self.args, "image", "rgb") == "noise":
+            return False
+        if getattr(self.args, "no_native_aug", False):
+            return False
+        from .native import get_lib
+        return get_lib() is not None
+
     def __iter__(self):
         order = self._order()
         n = len(self)
         from concurrent.futures import ThreadPoolExecutor
         workers = max(1, int(getattr(self.args, "num_threads", 4)))
+        native = self._use_native()
         with ThreadPoolExecutor(max_workers=workers) as pool:
             for b in range(n):
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                samples = list(pool.map(self.dataset.__getitem__, idxs))
-                yield collate(samples)
+                if native:
+                    yield self._native_batch(pool, idxs)
+                else:
+                    samples = list(pool.map(self.dataset.__getitem__, idxs))
+                    yield collate(samples)
+
+    def _draw_params(self, rng, rect_h, rect_w):
+        """Random augmentation parameters with the same rng sequence as the
+        numpy path so seeds stay comparable (rng already consumed any
+        use_right draw)."""
+        args = self.args
+        angle = (rng.random() - 0.5) * 2 * args.degree if args.do_random_rotate else 0.0
+        crop_x = int(rng.integers(0, rect_w - args.input_width + 1))
+        crop_y = int(rng.integers(0, rect_h - args.input_height + 1))
+        do_flip = rng.random() > 0.5
+        do_augment = rng.random() > 0.5
+        gamma = brightness = 1.0
+        color = (1.0, 1.0, 1.0)
+        if do_augment:
+            gamma = rng.uniform(0.9, 1.1)
+            brightness = rng.uniform(0.75, 1.25) if args.dataset == "nyu" \
+                else rng.uniform(0.9, 1.1)
+            color = tuple(rng.uniform(0.9, 1.1, size=3))
+        return dict(angle_deg=angle, crop_x=crop_x, crop_y=crop_y,
+                    do_flip=do_flip, do_augment=do_augment, gamma=gamma,
+                    brightness=brightness, color=color,
+                    depth_scale=1e-3 if args.dataset == "nyu" else 1 / 256.0)
+
+    def _native_batch(self, pool, idxs):
+        """Fully-native fast path: the C++ engine (native/mdeaug.cpp) reads
+        and decodes the jpg/png files and fuses pre-crop + rotate/crop/flip/
+        jitter/normalize, one thread per sample. Python only parses the split
+        line, reads JPEG headers for crop bounds, and loads npy/npz cue maps."""
+        from PIL import Image as PILImage
+        from .native import load_augment_batch
+        args = self.args
+        ds = self.dataset
+
+        def prep(idx):
+            parts = ds.filenames[idx].split()
+            rng = ds._rng(idx)
+            use_right = (args.dataset == "kitti" and getattr(args, "use_right", False)
+                         and rng.random() > 0.5)
+            if use_right:
+                rgb_path = os.path.join(args.data_path, remove_leading_slash(parts[3]))
+                depth_path = os.path.join(args.gt_path, remove_leading_slash(parts[4]))
+            else:
+                rgb_path = os.path.join(args.data_path, remove_leading_slash(parts[0]))
+                depth_path = os.path.join(args.gt_path, remove_leading_slash(parts[1]))
+            w, h = PILImage.open(rgb_path).size  # header-only read
+            if args.do_kb_crop:
+                rect = (int((w - 1216) / 2), int(h - 352), 1216, 352)
+            elif args.dataset == "nyu":
+                rect = (43, 45, 565, 427)
+            else:
+                rect = None
+            rect_h = rect[3] if rect else h
+            rect_w = rect[2] if rect else w
+            cues = {}
+            if not use_right:
+                side_paths = _derive_side_paths(rgb_path, args)
+                for key, fallback in (("semantics", -1), ("instance_labels", -1),
+                                      ("instance_areas", 0)):
+                    if key in side_paths:
+                        cues[key] = _load_label_map(side_paths[key], (h, w), fallback)
+            return (rgb_path, depth_path, cues, rect,
+                    self._draw_params(rng, rect_h, rect_w), np.float32(parts[2]))
+
+        rows = list(pool.map(prep, idxs))
+        rgb_paths, depth_paths, cue_maps, rects, params, focals = zip(*rows)
+        out, nfail = load_augment_batch(
+            list(rgb_paths), list(depth_paths), list(cue_maps), list(rects),
+            args.input_height, args.input_width, list(params),
+            num_threads=int(getattr(args, "num_threads", 0)))
+        if nfail:
+            raise IOError(f"native loader failed to decode {nfail} samples in batch")
+        batch = {"image": out["image"], "depth": out["depth"],
+                 "focal": np.asarray(focals, np.float32)}
+        for k in ("semantics", "instance_labels", "instance_areas"):
+            if out.get(k) is not None:
+                batch[k] = out[k]
+        return batch
 
     @property
     def data(self):

@@ -67,6 +67,24 @@ def compute_errors_masked(gt: jnp.ndarray, pred: jnp.ndarray, mask: jnp.ndarray)
                 rmse_log=rmse_log, silog=silog, sq_rel=sq_rel)
 
 
+def intersection_and_union(pred: np.ndarray, label: np.ndarray,
+                           num_classes: int, ignore_index: int = -1):
+    """Segmentation mIoU accumulators (capability of the reference's
+    mit_semseg/utils.py intersectionAndUnion): returns per-class
+    (intersection, union) histograms; mIoU = (inter / union).mean() over
+    classes with union > 0."""
+    pred = np.asarray(pred).reshape(-1)
+    label = np.asarray(label).reshape(-1)
+    valid = label != ignore_index
+    pred = pred[valid]
+    label = label[valid]
+    inter = pred[pred == label]
+    area_inter, _ = np.histogram(inter, bins=num_classes, range=(0, num_classes))
+    area_pred, _ = np.histogram(pred, bins=num_classes, range=(0, num_classes))
+    area_label, _ = np.histogram(label, bins=num_classes, range=(0, num_classes))
+    return area_inter, area_pred + area_label - area_inter
+
+
 def eval_mask(gt_hw_shape, dataset: str = "nyu", garg_crop: bool = False,
               eigen_crop: bool = True) -> np.ndarray:
     """Static eval crop mask (reference evaluate.py:136-150)."""

@@ -86,6 +86,20 @@ def main_train(args, max_steps=None, interactive=True):
     with jax.default_device(jax.devices()[0]):
         state = create_train_state(model, args, rng, init_inputs, steps_per_epoch)
     state = _apply_pretrained_backbone(state, args, compute_dtype)
+
+    # --resume: restore the full train state (params, optimizer, step) from
+    # 'latest' in the exp dir or an explicit checkpoint path (the working
+    # counterpart of the reference's disused --resume, TrainArgParser.py:15-16,
+    # driven by scripts/keep_resuming_until_success.sh).
+    start_epoch = 0
+    resume = getattr(args, "resume", "")
+    if resume:
+        ckpt_path = _find_resume_checkpoint(resume, getattr(args, "exp_dir", None))
+        if ckpt_path:
+            from ..checkpoint import load_checkpoint
+            state, start_epoch = load_checkpoint(ckpt_path, state)
+            print(f"resumed from {ckpt_path} at epoch {start_epoch}")
+
     # replicate state over the mesh
     state = jax.device_put(state, replicated_sharding(mesh))
 
@@ -105,10 +119,11 @@ def main_train(args, max_steps=None, interactive=True):
         instance_labels=args.use_instance_segmentation is not None)
 
     best_loss = np.inf
-    step = 0
+    step = start_epoch * steps_per_epoch  # schedule state itself lives in the
+    # restored optimizer count; this only keeps log/validation cadence aligned
     step_rng = jax.random.PRNGKey(getattr(args, "seed", 42) + 1)
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         logger.add_scalar("Epoch", epoch, step)
         train_loader.set_epoch(epoch)
         prefetcher = DevicePrefetcher(train_loader, sharding=data_sh)
@@ -140,6 +155,19 @@ def main_train(args, max_steps=None, interactive=True):
                 return state
     logger.close()
     return state
+
+
+def _find_resume_checkpoint(resume: str, exp_dir):
+    """Resolve --resume: an explicit path, or 'latest' -> newest *_latest
+    checkpoint directory under exp_dir."""
+    import glob
+    if resume != "latest":
+        return resume if os.path.exists(resume) else None
+    if not exp_dir:
+        return None
+    candidates = sorted(glob.glob(os.path.join(exp_dir, "*_latest")),
+                        key=os.path.getmtime)
+    return candidates[-1] if candidates else None
 
 
 def _device_batch(batch):

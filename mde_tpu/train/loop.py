@@ -54,6 +54,16 @@ def make_train_step(model, args, sem_embedder, inst_embedder, mesh):
     use_chamfer = getattr(args, "chamfer", w_chamfer > 0) and not model.no_adabins
     min_depth = float(args.min_depth)
 
+    # Pallas chamfer kernel: single-pass VMEM reduction with analytic VJP;
+    # default on TPU, jnp scan fallback elsewhere (kernels/chamfer.py).
+    use_pallas = getattr(args, "use_pallas_chamfer", None)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu", "gpu")
+    if use_pallas:
+        from ..kernels.chamfer import chamfer_1d_pallas as chamfer_fn
+    else:
+        chamfer_fn = bins_chamfer_loss
+
     def loss_fn(params, batch_stats, batch, rng):
         semantics, instance_labels, instance_areas = _embed_cues(
             batch, sem_embedder, inst_embedder)
@@ -68,7 +78,7 @@ def make_train_step(model, args, sem_embedder, inst_embedder, mesh):
         mask = depth > min_depth
         l_dense = silog_loss(pred, depth, mask, interpolate=True)
         if use_chamfer and bin_edges is not None:
-            l_chamfer = bins_chamfer_loss(bin_edges, depth)
+            l_chamfer = chamfer_fn(bin_edges, depth)
         else:
             l_chamfer = jnp.float32(0.0)
         loss = l_dense + w_chamfer * l_chamfer
