@@ -164,6 +164,78 @@ class CascadeMaskRCNN(nn.Module):
         return {"boxes": boxes, "scores": scores, "labels": labels,
                 "valid": valid, "masks28": masks}
 
+    # -------------------------------------------------------------- training
+    def compute_losses(self, image_nhwc, gt_boxes, gt_labels, gt_valid,
+                       gt_masks, rng, img_hw, num_samples: int = 512):
+        """Single-image multi-stage training losses (mmdet CascadeRoIHead
+        forward_train semantics; reference train_cfg in
+        configs/_base_/models/cascade_…ade20k.py:120-196).
+
+        gt_boxes (G,4) / gt_labels (G,) / gt_valid (G,) padded to a static G;
+        gt_masks (G, H, W) float. Returns a dict of scalar losses.
+        """
+        from .detection_train import (STAGE_LOSS_WEIGHTS, STAGE_POS_THR,
+                                      mask_loss, mask_targets, rcnn_stage_loss,
+                                      rcnn_stage_targets, rpn_loss)
+        from .detection_ops import grid_anchors as _grid_anchors
+
+        feats = self.neck(self.backbone(image_nhwc))
+        rpn_outs = self.rpn_head(feats)
+
+        # RPN losses over all levels' anchors
+        anchors = jnp.concatenate([
+            jnp.asarray(_grid_anchors(f.shape[1], f.shape[2], FPN_STRIDES[i]))
+            for i, f in enumerate(feats)])
+        cls_flat = jnp.concatenate([c.reshape(-1) for c, _ in rpn_outs]).astype(jnp.float32)
+        reg_flat = jnp.concatenate([r.reshape(-1, 4) for _, r in rpn_outs]).astype(jnp.float32)
+        rng, r_rpn = jax.random.split(rng)
+        rpn_cls_l, rpn_reg_l = rpn_loss(anchors, cls_flat, reg_flat, gt_boxes,
+                                        gt_labels, gt_valid, r_rpn, img_hw)
+
+        proposals, _ = self._rpn_proposals(rpn_outs, feats, img_hw)
+        proposals = jax.lax.stop_gradient(proposals)
+
+        losses = {"rpn_cls": rpn_cls_l, "rpn_reg": rpn_reg_l}
+        rois = proposals
+        for i, head in enumerate(self.bbox_heads):
+            rng, r_s = jax.random.split(rng)
+            tgt = rcnn_stage_targets(r_s, rois, gt_boxes, gt_labels, gt_valid,
+                                     pos_thr=STAGE_POS_THR[i],
+                                     num_classes=self.num_classes,
+                                     num_samples=num_samples, add_gt=True)
+            roi_feats = extract_roi_features(feats[:4], tgt["rois"], 7)
+            cls_score, bbox_pred = head(roi_feats, train=True)
+            # class-specific delta of the TARGET class, decoded for GIoU
+            deltas = bbox_pred.reshape(-1, self.num_classes, 4)
+            lbl = jnp.minimum(tgt["labels"], self.num_classes - 1)
+            sel = jnp.take_along_axis(deltas, lbl[:, None, None].repeat(4, -1),
+                                      axis=1)[:, 0]
+            decoded = delta2bbox(tgt["rois"], sel, stds=STAGE_STDS[i],
+                                 max_shape=img_hw)
+            cls_l, reg_l = rcnn_stage_loss(cls_score, decoded, tgt,
+                                           self.num_classes)
+            w = STAGE_LOSS_WEIGHTS[i]
+            losses[f"s{i}_cls"] = w * cls_l
+            losses[f"s{i}_reg"] = w * reg_l
+
+            # stage mask loss on this stage's sampled rois
+            mask_roi_feats = extract_roi_features(feats[:4], tgt["rois"], 14)
+            m_logits = self.mask_heads[i](mask_roi_feats)
+            m_tgts = mask_targets(gt_masks, tgt)
+            losses[f"s{i}_mask"] = w * mask_loss(m_logits, tgt, m_tgts)
+
+            # refine rois for the next stage with the predicted class's delta
+            # (no gradient through the proposal chain)
+            best = jnp.argmax(cls_score[:, :-1], axis=-1)
+            sel_pred = jnp.take_along_axis(deltas, best[:, None, None].repeat(4, -1),
+                                           axis=1)[:, 0]
+            rois = jax.lax.stop_gradient(
+                delta2bbox(tgt["rois"], sel_pred, stds=STAGE_STDS[i],
+                           max_shape=img_hw))
+
+        losses["total"] = sum(losses.values())
+        return losses
+
     def _rpn_proposals(self, rpn_outs, feats, img_hw):
         """Top-1000 proposals via per-level topk + level-aware NMS
         (test_cfg.rpn: nms_pre 1000, iou .7, max 1000)."""

@@ -54,6 +54,15 @@ def main():
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--bbox-areas", action="store_true",
                     help="use bbox area instead of mask area (the _bbox variant)")
+    ap.add_argument("--classes", choices=["ade20k", "coco"], default="ade20k",
+                    help="output convention: ade20k -> instance_*_ade20k_swin*.npz "
+                         "(labels 0..99, bg -1); coco -> instance_*_coco.npy "
+                         "(matterport ordering: bg 0, classes 1..80). NOTE: the "
+                         "reference's coco script paints ROI indices instead of "
+                         "class ids (misc_scripts/maskrcnn_inference_nyud2.py:196); "
+                         "we paint class ids.")
+    ap.add_argument("--num-classes", type=int, default=None,
+                    help="detector head classes (default 100 ade20k / 80 coco)")
     ap.add_argument("--depths", default=None,
                     help="optional dir of sync_depth pngs for the area/depth stats")
     ap.add_argument("--stats-out", default=None)
@@ -68,24 +77,30 @@ def main():
                                               paste_masks)
     from mde_tpu.offline.swin_convert import convert_detector
 
+    coco = args.classes == "coco"
+    num_classes = args.num_classes or (80 if coco else 100)
     params, stats = convert_detector(args.checkpoint)
     variables = {"params": jax.tree_util.tree_map(jnp.asarray, params),
                  "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)}
-    model = CascadeMaskRCNN(dtype=jnp.bfloat16)
+    model = CascadeMaskRCNN(num_classes=num_classes, dtype=jnp.bfloat16)
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def infer(variables, x, img_hw):
         return model.apply(variables, x, img_hw, method=CascadeMaskRCNN.infer)
 
-    tag = "ade20k_swin_bbox" if args.bbox_areas else "ade20k_swin"
+    if coco:
+        tag, ext = "coco", ".npy"
+    else:
+        tag = "ade20k_swin_bbox" if args.bbox_areas else "ade20k_swin"
+        ext = ".npz"
     files = sorted(glob.glob(os.path.join(args.images, "**", "rgb_*.jpg"),
                              recursive=True))
     print(f"{len(files)} images")
-    area_depth_std_points = [[] for _ in range(101)]
+    area_depth_std_points = [[] for _ in range(num_classes + 1)]
 
     for n, f in enumerate(files):
-        lab_path = f.replace("rgb", "instance_labels_" + tag).replace(".jpg", ".npz")
-        area_path = f.replace("rgb", "instance_areas_" + tag).replace(".jpg", ".npz")
+        lab_path = f.replace("rgb", "instance_labels_" + tag).replace(".jpg", ext)
+        area_path = f.replace("rgb", "instance_areas_" + tag).replace(".jpg", ext)
         if os.path.exists(lab_path) and os.path.exists(area_path) and not args.overwrite:
             continue
         img = np.asarray(Image.open(f).convert("RGB"))
@@ -96,10 +111,20 @@ def main():
         # rescale boxes back to the original frame
         det["boxes"] = det["boxes"] / np.array([sx, sy, sx, sy], np.float32)
         masks_full = paste_masks(det, h, w)
-        labels_map, areas_map = collapse_detections(det, masks_full, h, w,
-                                                    use_bbox_area=args.bbox_areas)
+        if coco:
+            # matterport convention: bg 0, classes shifted to 1..num_classes
+            det_shift = dict(det, labels=det["labels"] + 1)
+            labels_map, areas_map = collapse_detections(det_shift, masks_full, h, w,
+                                                        use_bbox_area=args.bbox_areas)
+            labels_map = np.where(labels_map < 0, 0, labels_map)
+        else:
+            labels_map, areas_map = collapse_detections(det, masks_full, h, w,
+                                                        use_bbox_area=args.bbox_areas)
 
-        if not det["valid"].any():
+        if coco:
+            np.save(lab_path, labels_map)
+            np.save(area_path, areas_map)
+        elif not det["valid"].any():
             # reference writes object-None npz when nothing is detected
             np.savez_compressed(lab_path, np.array(None, dtype=object))
             np.savez_compressed(area_path, np.array(None, dtype=object))

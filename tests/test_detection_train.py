@@ -1,0 +1,166 @@
+"""Detector-training primitive tests vs oracles: coders, losses, assigner,
+sampler, targets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from mde_tpu.offline.detection_train import (bbox2delta, smooth_l1_loss, giou,
+                                             giou_loss, softmax_ce_loss,
+                                             bce_with_logits, max_iou_assign,
+                                             random_sample, rcnn_stage_targets,
+                                             rcnn_stage_loss, rpn_loss,
+                                             mask_targets, mask_loss)
+from mde_tpu.offline.detection_ops import delta2bbox, grid_anchors
+
+
+def test_bbox2delta_roundtrip():
+    rng = np.random.default_rng(0)
+    props = rng.random((10, 2)) * 50
+    props = np.concatenate([props, props + rng.random((10, 2)) * 40 + 5], 1)
+    gts = rng.random((10, 2)) * 50
+    gts = np.concatenate([gts, gts + rng.random((10, 2)) * 40 + 5], 1)
+    stds = (0.1, 0.1, 0.2, 0.2)
+    deltas = bbox2delta(jnp.asarray(props, jnp.float32),
+                        jnp.asarray(gts, jnp.float32), stds=stds)
+    back = delta2bbox(jnp.asarray(props, jnp.float32), deltas, stds=stds)
+    np.testing.assert_allclose(np.asarray(back), gts, rtol=1e-3, atol=1e-3)
+
+
+def test_smooth_l1_matches_torch():
+    x = np.linspace(-2, 2, 41, dtype=np.float32)
+    ours = np.asarray(smooth_l1_loss(jnp.asarray(x), jnp.zeros(41), beta=1 / 9))
+    ref = torch.nn.functional.smooth_l1_loss(
+        torch.from_numpy(x), torch.zeros(41), beta=1 / 9, reduction="none").numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_giou_known_values():
+    a = jnp.asarray([[0.0, 0, 10, 10]])
+    np.testing.assert_allclose(np.asarray(giou(a, a)), [1.0], atol=1e-6)
+    b = jnp.asarray([[10.0, 0, 20, 10]])  # touching, disjoint
+    # iou 0; enclosing box 20x10=200, union 200 -> giou = 0 - 0 = 0
+    np.testing.assert_allclose(np.asarray(giou(a, b)), [0.0], atol=1e-6)
+    c = jnp.asarray([[30.0, 0, 40, 10]])  # far apart
+    assert float(giou(a, c)[0]) < 0
+    assert float(giou_loss(a, a)[0]) == 0.0
+
+
+def test_ce_and_bce_match_torch():
+    rng = np.random.default_rng(1)
+    logits = rng.standard_normal((6, 5)).astype(np.float32)
+    labels = rng.integers(0, 5, 6)
+    ours = np.asarray(softmax_ce_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    ref = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(labels), reduction="none").numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+    x = rng.standard_normal(20).astype(np.float32)
+    t = rng.random(20).astype(np.float32)
+    ours_b = np.asarray(bce_with_logits(jnp.asarray(x), jnp.asarray(t)))
+    ref_b = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.from_numpy(x), torch.from_numpy(t), reduction="none").numpy()
+    np.testing.assert_allclose(ours_b, ref_b, rtol=1e-5, atol=1e-6)
+
+
+def _toy_scene():
+    gt_boxes = jnp.asarray([[10.0, 10, 50, 50], [60.0, 60, 90, 90],
+                            [0.0, 0, 0, 0]])  # last is padding
+    gt_labels = jnp.asarray([3, 7, 0])
+    gt_valid = jnp.asarray([True, True, False])
+    return gt_boxes, gt_labels, gt_valid
+
+
+def test_max_iou_assign():
+    gt_boxes, gt_labels, gt_valid = _toy_scene()
+    boxes = jnp.asarray([
+        [12.0, 12, 48, 48],   # high IoU with gt0 -> pos
+        [0.0, 0, 5, 5],       # no overlap -> neg
+        [58.0, 58, 92, 92],   # high IoU with gt1 -> pos
+        [10.0, 10, 80, 80],   # middling overlap -> between thresholds
+    ])
+    res = max_iou_assign(boxes, gt_boxes, gt_labels, gt_valid,
+                         pos_iou_thr=0.7, neg_iou_thr=0.3, min_pos_iou=0.3,
+                         match_low_quality=False)
+    gi = np.asarray(res.gt_inds)
+    assert gi[0] == 0 and gi[2] == 1
+    assert gi[1] == -1
+    assert gi[3] == -2  # ignore band
+    assert np.asarray(res.labels)[0] == 3 and np.asarray(res.labels)[2] == 7
+
+
+def test_match_low_quality_claims_best_box():
+    gt_boxes, gt_labels, gt_valid = _toy_scene()
+    # no box reaches pos_thr for gt1, but the best one (iou ~.45) gets claimed
+    boxes = jnp.asarray([[12.0, 12, 48, 48], [55.0, 55, 80, 80]])
+    res = max_iou_assign(boxes, gt_boxes, gt_labels, gt_valid,
+                         pos_iou_thr=0.7, neg_iou_thr=0.3, min_pos_iou=0.3,
+                         match_low_quality=True)
+    assert np.asarray(res.gt_inds)[1] == 1
+
+
+def test_random_sample_budget():
+    gt_boxes, gt_labels, gt_valid = _toy_scene()
+    rng_np = np.random.default_rng(0)
+    # many far-away negatives, two positives
+    neg_xy = (rng_np.random((100, 2)) * 3 + 200).astype(np.float32)
+    negs = np.concatenate([neg_xy, neg_xy + 4], axis=1)
+    boxes = np.concatenate([
+        np.asarray([[12.0, 12, 48, 48], [58.0, 58, 92, 92]], np.float32),
+        negs,
+    ], axis=0)
+    res = max_iou_assign(jnp.asarray(boxes), gt_boxes, gt_labels, gt_valid,
+                         0.5, 0.5, 0.5, False)
+    idx, is_pos, valid = random_sample(jax.random.PRNGKey(0), res, 32, 0.25)
+    assert idx.shape == (32,)
+    n_pos = int(jnp.sum(is_pos & valid))
+    assert n_pos == 2  # both positives kept (under the 8-pos budget)
+    assert int(jnp.sum(valid)) == 32  # filled with negatives
+
+
+def test_rcnn_targets_and_loss_finite():
+    gt_boxes, gt_labels, gt_valid = _toy_scene()
+    rng_np = np.random.default_rng(3)
+    props = rng_np.random((64, 2)).astype(np.float32) * 80
+    props = np.concatenate([props, props + rng_np.random((64, 2)).astype(np.float32) * 30 + 4], 1)
+    t = rcnn_stage_targets(jax.random.PRNGKey(1), jnp.asarray(props), gt_boxes,
+                           gt_labels, gt_valid, pos_thr=0.5, num_classes=100,
+                           num_samples=64)
+    assert t["rois"].shape == (64, 4)
+    cls_logits = jnp.zeros((64, 101))
+    decoded = t["rois"]
+    cls_l, reg_l = rcnn_stage_loss(cls_logits, decoded, t, 100)
+    assert np.isfinite(float(cls_l)) and np.isfinite(float(reg_l))
+    # gt added as proposals -> at least the two real gts become positives
+    assert int(jnp.sum(t["is_pos"] & t["valid"])) >= 2
+
+
+def test_rpn_loss_finite_and_positive():
+    gt_boxes, gt_labels, gt_valid = _toy_scene()
+    anchors = jnp.asarray(grid_anchors(16, 16, 8))
+    n = anchors.shape[0]
+    rng_np = np.random.default_rng(4)
+    cls_logits = jnp.asarray(rng_np.standard_normal(n).astype(np.float32))
+    deltas = jnp.asarray(rng_np.standard_normal((n, 4)).astype(np.float32) * 0.1)
+    cls_l, reg_l = rpn_loss(anchors, cls_logits, deltas, gt_boxes, gt_labels,
+                            gt_valid, jax.random.PRNGKey(0), (128, 128))
+    assert float(cls_l) > 0 and np.isfinite(float(reg_l))
+
+
+def test_mask_targets_and_loss():
+    gt_boxes, gt_labels, gt_valid = _toy_scene()
+    masks = np.zeros((3, 100, 100), np.float32)
+    masks[0, 10:50, 10:50] = 1.0
+    masks[1, 60:90, 60:90] = 1.0
+    t = {"rois": jnp.asarray([[10.0, 10, 50, 50], [60.0, 60, 90, 90]]),
+         "gt_idx": jnp.asarray([0, 1]),
+         "labels": jnp.asarray([3, 7]),
+         "is_pos": jnp.asarray([True, True]),
+         "valid": jnp.asarray([True, True])}
+    tgts = mask_targets(jnp.asarray(masks), t)
+    assert tgts.shape == (2, 28, 28)
+    np.testing.assert_allclose(np.asarray(tgts).mean(), 1.0, atol=0.05)
+    logits = jnp.full((2, 28, 28, 100), 5.0)  # confident foreground
+    loss = float(mask_loss(logits, t, tgts))
+    assert loss < 0.1
