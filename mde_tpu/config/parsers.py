@@ -174,6 +174,9 @@ class EvalArgParser(CommonArgParser):
 
         self.add_argument('--n-bins', '--n_bins', default=256, type=int,
                           help='number of bins/buckets to divide depth range into')
+        self.add_argument('--eval_batch_size', default=1, type=int,
+                          help='TPU extension: eval frames per step (reference is '
+                               'fixed at 1; metrics stay per-image exact)')
         self.add_argument('--save-dir', '--save_dir', default=None, type=str,
                           help='Store predictions in folder')
         self.add_argument('--checkpoint_path', '--checkpoint-path', type=str, required=True,

@@ -285,6 +285,14 @@ class DepthDataLoader:
         self.dataset = DepthDataset(args, mode, seed=seed)
         if mode == "train":
             self.batch_size = args.batch_size
+            try:
+                import jax
+                if jax.process_count() > 1:
+                    # global batch is assembled across hosts
+                    # (prefetch.py make_array_from_process_local_data)
+                    self.batch_size = max(1, args.batch_size // jax.process_count())
+            except Exception:
+                pass
             self.drop_last = True
             self.shuffle = True
         else:
@@ -305,11 +313,25 @@ class DepthDataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _order(self):
+        """Epoch ordering; under multi-host each process takes a strided
+        slice of the shared permutation (the DistributedSampler equivalent —
+        every host derives the same permutation from the shared seed)."""
         n = len(self.dataset)
         if not self.shuffle:
-            return np.arange(n)
-        rng = np.random.default_rng(np.random.SeedSequence([self.seed, self._epoch, 0xD5]))
-        return rng.permutation(n)
+            order = np.arange(n)
+        else:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self._epoch, 0xD5]))
+            order = rng.permutation(n)
+        try:
+            import jax
+            nproc = jax.process_count()
+            rank = jax.process_index()
+        except Exception:
+            nproc, rank = 1, 0
+        if nproc > 1 and self.mode == "train":
+            order = order[rank::nproc]
+        return order
 
     def _use_native(self) -> bool:
         if self.mode != "train" or getattr(self.args, "image", "rgb") == "noise":

@@ -31,10 +31,15 @@ class DevicePrefetcher:
         self.array_keys = array_keys
 
     def _put(self, batch):
+        multihost = jax.process_count() > 1
         out = dict(batch)
         for k in self.array_keys:
             if k in out and isinstance(out[k], np.ndarray):
-                if self.sharding is not None:
+                if self.sharding is not None and multihost:
+                    # each host contributes its local slice of the global batch
+                    out[k] = jax.make_array_from_process_local_data(
+                        self.sharding, out[k])
+                elif self.sharding is not None:
                     out[k] = jax.device_put(out[k], self.sharding)
                 else:
                     out[k] = jax.device_put(out[k])

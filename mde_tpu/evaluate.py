@@ -62,18 +62,24 @@ def evaluate(args, state=None, max_batches=None):
         if max_batches is not None and i >= max_batches:
             break
         if predict_fn is not None:
-            final = np.asarray(predict_fn(state.params, state.batch_stats,
-                                          _arrays(batch)))[0, ..., 0]
-            _save_prediction(final, batch["image_path"][0], args)
-        if "has_valid_depth" in batch and not np.all(batch["has_valid_depth"]):
-            total_invalid += int(np.sum(~np.asarray(batch["has_valid_depth"])))
+            finals = np.asarray(predict_fn(state.params, state.batch_stats,
+                                           _arrays(batch)))
+            for j in range(finals.shape[0]):
+                _save_prediction(finals[j, ..., 0], batch["image_path"][j], args)
+        valid_imgs = np.asarray(batch.get(
+            "has_valid_depth", np.ones(batch["depth"].shape[0], bool)))
+        total_invalid += int(np.sum(~valid_imgs))
+        if not valid_imgs.any():
             continue
         hw = batch["depth"].shape[1:3]
         if hw not in crop_cache:
             crop_cache[hw] = jnp.asarray(eval_mask(hw, args.dataset,
                                                    args.garg_crop, args.eigen_crop))
         _, m = eval_step(state.params, state.batch_stats, _arrays(batch), crop_cache[hw])
-        metrics.update({k: float(v) for k, v in m.items()})
+        m = {k: np.asarray(v) for k, v in m.items()}
+        for j in range(batch["depth"].shape[0]):
+            if valid_imgs[j]:
+                metrics.update({k: float(v[j]) for k, v in m.items()})
 
     print(f"Total invalid: {total_invalid}")
     rounded = {k: round(v, 3) for k, v in metrics.get_value().items()}
@@ -107,20 +113,17 @@ def _make_predict_fn(model, args, sem_embedder, inst_embedder):
 
 def _load_eval_state(args, model):
     """Load an orbax checkpoint dir or a converted/reference torch .pt file."""
+    import optax
     path = args.checkpoint_path
     if os.path.isdir(path):
-        rng = jax.random.PRNGKey(0)
-        h, w = args.input_height, args.input_width
-        dummy = _dummy_inputs(args, h, w)
-        variables = model.init({"params": rng}, *dummy)
-        from .train.state import TrainState
-        import optax
-        template = TrainState.create(apply_fn=model.apply,
-                                     params=variables["params"],
-                                     tx=optax.identity(),
-                                     batch_stats=variables.get("batch_stats", {}))
-        state, _ = load_checkpoint(path, template)
-        return state
+        # raw (template-free) restore: eval only needs params + batch_stats,
+        # and the saved optimizer-state structure varies by training recipe
+        restored, _ = load_checkpoint(path)
+        params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+        stats = jax.tree_util.tree_map(jnp.asarray,
+                                       restored.get("batch_stats", {}) or {})
+        return TrainState.create(apply_fn=model.apply, params=params,
+                                 tx=optax.identity(), batch_stats=stats)
     # torch checkpoint
     from .checkpoint import convert_reference_checkpoint
     params, stats = convert_reference_checkpoint(path, args.encoder_name)

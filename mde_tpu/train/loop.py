@@ -56,9 +56,13 @@ def make_train_step(model, args, sem_embedder, inst_embedder, mesh):
 
     # Pallas chamfer kernel: single-pass VMEM reduction with analytic VJP;
     # default on TPU, jnp scan fallback elsewhere (kernels/chamfer.py).
+    # Decide by the mesh's device platform (the step may target virtual CPU
+    # devices while the default backend is a TPU).
     use_pallas = getattr(args, "use_pallas_chamfer", None)
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu", "gpu")
+        platform = np.asarray(mesh.devices).flat[0].platform if mesh is not None \
+            else jax.default_backend()
+        use_pallas = platform not in ("cpu", "gpu")
     if use_pallas:
         from ..kernels.chamfer import chamfer_1d_pallas as chamfer_fn
     else:
@@ -121,7 +125,9 @@ def make_eval_step(model, args, sem_embedder, inst_embedder):
         gt = depth[..., 0]
         pr = pred[..., 0]
         valid = (gt > min_d) & (gt < max_d) & crop_mask[None, :, :]
-        metrics = compute_errors_masked(gt, pr, valid)
+        # per-image metrics (vmapped) so batched eval aggregates exactly like
+        # the reference's per-image RunningAverage at bs=1
+        metrics = jax.vmap(compute_errors_masked)(gt, pr, valid)
         return l_dense, metrics
 
     return eval_step
@@ -149,6 +155,8 @@ def validate(args, eval_step, state, test_loader, max_batches=None):
                            "instance_areas")}
         l_dense, m = eval_step(state.params, state.batch_stats, arrays, crop_b)
         val_si.append(float(l_dense))
-        metrics.update({k: float(v) for k, v in m.items()})
+        m = {k: np.asarray(v) for k, v in m.items()}
+        for j in range(batch["depth"].shape[0]):
+            metrics.update({k: float(v[j]) for k, v in m.items()})
     vals = metrics.get_value() if metrics._dict else {k: float("nan") for k in METRIC_NAMES}
     return vals, val_si
