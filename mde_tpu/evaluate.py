@@ -132,20 +132,3 @@ def _load_eval_state(args, model):
     stats = jax.tree_util.tree_map(jnp.asarray, stats)
     return TrainState.create(apply_fn=model.apply, params=params,
                              tx=optax.identity(), batch_stats=stats)
-
-
-def _dummy_inputs(args, h, w):
-    from .models import get_num_channels_to_add
-    img = jnp.zeros((1, h, w, 3), jnp.float32)
-    sem = lab = areas = None
-    if args.use_semantics:
-        n = 26 if "inst-areas" in args.use_semantics else (
-            300 if args.use_semantics == "glove" else
-            (28 if "human-sizes" in args.use_semantics else
-             (1 if "raw" in args.use_semantics else 25)))
-        sem = jnp.zeros((1, h, w, n), jnp.float32)
-    if args.use_instance_segmentation:
-        lab = jnp.zeros((1, h, w, 25), jnp.float32)
-        a_ch = 4 if "human_sizes" in args.use_instance_segmentation else 1
-        areas = jnp.zeros((1, h, w, a_ch), jnp.float32)
-    return img, sem, lab, areas
