@@ -200,8 +200,10 @@ def parse_cli(parser, argv=None, mode="train"):
     train.py:587-590 / evaluate.py:170-171 are attached.
     """
     argv = sys.argv[1:] if argv is None else argv
-    if len(argv) == 1 and not argv[0].startswith('-'):
-        args = parser.parse_args(['@' + argv[0]])
+    if argv and not argv[0].startswith('-'):
+        # param file first, optional CLI overrides after
+        # (e.g. `train.py params.txt --resume latest`)
+        args = parser.parse_args(['@' + argv[0]] + list(argv[1:]))
     else:
         args = parser.parse_args(argv)
 

@@ -139,3 +139,14 @@ def test_running_average_dict():
     rad.update({"a": 1.0, "b": 2.0})
     rad.update({"a": 3.0, "b": 4.0})
     assert rad.get_value() == {"a": 2.0, "b": 3.0}
+
+
+def test_parse_cli_paramfile_with_overrides(tmp_path):
+    from mde_tpu.config import TrainArgParser, parse_cli
+    p = tmp_path / "params.txt"
+    p.write_text("--bs 4\n--epochs 3\n")
+    a = parse_cli(TrainArgParser(), [str(p), "--resume", "latest", "--epochs", "7"],
+                  mode="train")
+    assert a.bs == 4
+    assert a.resume == "latest"
+    assert a.epochs == 7  # CLI overrides the param file
