@@ -134,6 +134,14 @@ class TrainArgParser(CommonArgParser):
         self.add_argument('--lr', '--learning-rate', default=0.000357, type=float, help='max learning rate')
         self.add_argument("--same-lr", '--same_lr', default=False, action="store_true",
                           help="Use same LR for all param groups")
+        # TPU-native extension. The reference *builds* an encoder lr/10 group
+        # (train.py:345-354) but torch OneCycleLR with a scalar max_lr
+        # overwrites every group's lr each step, so that split never takes
+        # effect at runtime; uniform lr (factor 1.0) is therefore the parity
+        # default, and 0.1 opts back into the upstream-intended split.
+        self.add_argument('--encoder-lr-factor', '--encoder_lr_factor', default=1.0,
+                          type=float,
+                          help='update-scale factor for encoder params (1.0 = uniform lr)')
         self.add_argument('--div-factor', '--div_factor', default=25, type=float, help="Initial div factor for lr")
         self.add_argument('--final-div-factor', '--final_div_factor', default=100, type=float,
                           help="final div factor for lr")
@@ -157,6 +165,12 @@ class TrainArgParser(CommonArgParser):
 
         # TPU-native extension: seed for fully-reproducible runs.
         self.add_argument('--seed', default=42, type=int, help='global RNG seed')
+        # TPU-native extension: activation checkpointing (remat) policy —
+        # recompute encoder blocks in the backward pass to trade FLOPs for
+        # HBM, enabling larger batches (the reference's use_checkpoint
+        # capability, swin_transformer.py:393).
+        self.add_argument('--remat', default='none', choices=['none', 'encoder'],
+                          help='activation checkpointing policy for training')
 
 
 class EvalArgParser(CommonArgParser):

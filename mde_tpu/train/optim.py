@@ -1,11 +1,15 @@
 """Optimizer: AdamW with two LR groups + OneCycle schedule (optax).
 
-Reproduces the reference's training recipe exactly:
-  * AdamW, weight decay on everything, encoder at lr/10 and the rest at lr
-    unless --same_lr (reference train.py:345-354). The group split is a
-    static 0.1 update-scale mask on `encoder/*` params — identical arithmetic
-    to torch's per-group lr because AdamW's decoupled decay is multiplied by
-    the group lr in both frameworks.
+Reproduces the reference's training recipe *as it actually runs*:
+  * AdamW, weight decay on everything. The reference builds an encoder lr/10
+    param group unless --same_lr (train.py:345-354), BUT torch OneCycleLR
+    with a scalar max_lr overwrites every param group's lr on each step, so
+    at runtime the lr/10 group has no effect — all groups train at the
+    scheduled lr. We default to that uniform behavior; --encoder_lr_factor
+    restores the (upstream-inoperative) group split as a static update-scale
+    mask on `encoder/*` params — identical arithmetic to torch's per-group lr
+    because AdamW's decoupled decay is multiplied by the group lr in both
+    frameworks.
   * torch OneCycleLR with cycle_momentum: cos-annealed lr from max_lr/div up
     to max_lr at 30% of steps, down to max_lr/(div*final_div); beta1 cycled
     0.95 -> 0.85 -> 0.95 in opposite phase (reference train.py:364-368).
@@ -67,14 +71,13 @@ def onecycle_momentum_schedule(total_steps: int, base_momentum: float = 0.85,
     return schedule
 
 
-def _encoder_scale_mask(params) -> dict:
-    """Pytree of update scales: 0.1 for encoder params, 1.0 elsewhere
+def _encoder_scale_mask(params, factor: float) -> dict:
+    """Pytree of update scales: `factor` for encoder params, 1.0 elsewhere
     (the lr/10 encoder group, reference train.py:351-352)."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def scale_for(path):
         keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        return 0.1 if any(k == "encoder" for k in keys) else 1.0
+        return factor if any(k == "encoder" for k in keys) else 1.0
 
     return jax.tree_util.tree_map_with_path(lambda p, _: scale_for(p), params)
 
@@ -109,7 +112,11 @@ def build_optimizer(params, args, steps_per_epoch: int):
         weight_decay=args.wd)
 
     chain = [optax.clip_by_global_norm(0.1), adamw]
-    if not getattr(args, "same_lr", False):
-        chain.append(scale_by_pytree(_encoder_scale_mask(params)))
+    # The reference's encoder lr/10 group is overwritten by OneCycleLR at
+    # runtime (see module docstring), so uniform lr is the parity default;
+    # --encoder_lr_factor < 1 opts back into the group split.
+    factor = float(getattr(args, "encoder_lr_factor", 1.0) or 1.0)
+    if not getattr(args, "same_lr", False) and factor != 1.0:
+        chain.append(scale_by_pytree(_encoder_scale_mask(params, factor)))
     tx = optax.chain(*chain)
     return tx, lr_sched

@@ -52,15 +52,28 @@ def test_onecycle_matches_torch():
         sched.step()
 
 
-def test_encoder_lr_group_scaling():
-    args = _args()
+def _encoder_update_ratio(args):
     params = {"encoder": {"w": jnp.ones((4,))}, "decoder": {"w": jnp.ones((4,))}}
     tx, _ = build_optimizer(params, args, steps_per_epoch=10)
     state = tx.init(params)
     grads = {"encoder": {"w": jnp.ones((4,))}, "decoder": {"w": jnp.ones((4,))}}
     updates, _ = tx.update(grads, state, params)
-    ratio = float(updates["encoder"]["w"][0] / updates["decoder"]["w"][0])
+    return float(updates["encoder"]["w"][0] / updates["decoder"]["w"][0])
+
+
+def test_encoder_lr_uniform_by_default():
+    # torch OneCycleLR with a scalar max_lr overwrites the reference's encoder
+    # lr/10 group each step, so uniform lr is the runtime-parity default
+    np.testing.assert_allclose(_encoder_update_ratio(_args()), 1.0, rtol=1e-5)
+
+
+def test_encoder_lr_factor_opt_in():
+    ratio = _encoder_update_ratio(_args(encoder_lr_factor=0.1))
     np.testing.assert_allclose(ratio, 0.1, rtol=1e-5)
+    # --same_lr wins over the factor, as in the reference argument surface
+    np.testing.assert_allclose(
+        _encoder_update_ratio(_args(encoder_lr_factor=0.1, same_lr=True)), 1.0,
+        rtol=1e-5)
 
 
 @pytest.fixture(scope="module")
@@ -101,6 +114,22 @@ def test_one_vs_eight_device_parity(tiny_setup):
     np.testing.assert_allclose(l1, l8, rtol=2e-4,
                                err_msg="sharded step diverged from single-chip step")
     assert all(np.isfinite(l1))
+
+
+def test_remat_encoder_matches_no_remat(tiny_setup):
+    """--remat encoder recomputes activations in the backward; losses and
+    updates must be identical to the non-remat step."""
+    args, model, state, img, depth = tiny_setup
+    mesh = make_mesh("1", devices=jax.devices()[:1])
+    base = _run_steps(args, model, state, img, depth, mesh)
+
+    args_r = _args(remat="encoder")
+    model_r = build_model(args_r, dtype=jnp.float32)
+    remat = _run_steps(args_r, model_r, state, img, depth, mesh)
+    # step 1 is bit-identical; step 2 inherits ~1e-5 rel f32 reduction-order
+    # noise from the recomputed backward — anything structural would be O(1)
+    np.testing.assert_allclose(base, remat, rtol=2e-4,
+                               err_msg="remat changed the training math")
 
 
 def test_graft_entry_dryrun():
