@@ -114,9 +114,14 @@ def make_eval_step(model, args, sem_embedder, inst_embedder):
             {"params": params, "batch_stats": batch_stats},
             batch["image"], semantics, instance_labels, instance_areas, train=False)
         depth = batch["depth"]
-        l_dense = silog_loss(pred, depth, depth > min_depth, interpolate=True)
 
         pred = resize_bilinear_align_corners(pred, depth.shape[1:3])
+        # per-image SILog (vmapped) — the reference validates at bs=1, so its
+        # val silog is a per-image average; per-image values also let the host
+        # drop invalid-depth samples without discarding the rest of the batch
+        l_dense = jax.vmap(
+            lambda p, d: silog_loss(p[None], d[None], (d > min_depth)[None],
+                                    interpolate=False))(pred, depth)
         pred = jnp.clip(pred, min_d, max_d)
         pred = jnp.where(jnp.isinf(pred), max_d, pred)
         pred = jnp.where(jnp.isnan(pred), min_d, pred)
@@ -142,7 +147,12 @@ def validate(args, eval_step, state, test_loader, max_batches=None):
     for i, batch in enumerate(test_loader):
         if max_batches is not None and i >= max_batches:
             break
-        if "has_valid_depth" in batch and not np.all(batch["has_valid_depth"]):
+        bs = batch["depth"].shape[0]
+        # per-sample skip (reference validates at bs=1 and skips invalid-GT
+        # samples individually, train.py:516-518) — do not drop whole batches
+        valid = np.asarray(batch["has_valid_depth"]).reshape(-1).astype(bool) \
+            if "has_valid_depth" in batch else np.ones(bs, bool)
+        if not valid.any():
             continue
         if batch["depth"].shape[1:3] != crop.shape:
             crop_b = jnp.asarray(eval_mask(batch["depth"].shape[1:3], args.dataset,
@@ -152,10 +162,13 @@ def validate(args, eval_step, state, test_loader, max_batches=None):
         arrays = {k: v for k, v in batch.items()
                   if k in ("image", "depth", "semantics", "instance_labels",
                            "instance_areas")}
-        l_dense, m = eval_step(state.params, state.batch_stats, arrays, crop_b)
-        val_si.append(float(l_dense))
+        si, m = eval_step(state.params, state.batch_stats, arrays, crop_b)
+        si = np.asarray(si)
         m = {k: np.asarray(v) for k, v in m.items()}
-        for j in range(batch["depth"].shape[0]):
+        for j in range(bs):
+            if not valid[j]:
+                continue
+            val_si.append(float(si[j]))
             metrics.update({k: float(v[j]) for k, v in m.items()})
     vals = metrics.get_value() if metrics._dict else {k: float("nan") for k in METRIC_NAMES}
     return vals, val_si

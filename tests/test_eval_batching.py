@@ -63,3 +63,49 @@ def test_batched_eval_matches_bs1(tree):
     m2 = evaluate(_args(root, split, bs=2), state=state)
     for k in m1:
         assert abs(m1[k] - m2[k]) < 2e-3, (k, m1[k], m2[k])
+
+
+def test_validate_masks_invalid_samples_per_image(tree):
+    """A batch mixing valid and invalid-GT samples must contribute exactly its
+    valid samples (reference skips invalid samples individually at bs=1,
+    train.py:516-518) — not be dropped wholesale."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mde_tpu.models import build_model
+    from mde_tpu.train.loop import make_eval_step, validate
+    from mde_tpu.train.state import TrainState
+
+    root, split = tree
+    args = _args(root, split, bs=2)
+    model = build_model(args, dtype=jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, H, W, 3)))
+    state = TrainState.create(apply_fn=model.apply, params=variables["params"],
+                              tx=optax.identity(),
+                              batch_stats=variables.get("batch_stats", {}))
+    eval_step = make_eval_step(model, args, None, None)
+
+    rng = np.random.default_rng(3)
+    img = rng.standard_normal((2, H, W, 3)).astype(np.float32)
+    depth = (rng.random((2, H, W, 1)) * 9.0 + 0.5).astype(np.float32)
+    depth[1] = 0.0  # the invalid sample carries no usable GT
+    mixed = {"image": img, "depth": depth,
+             "has_valid_depth": np.array([True, False])}
+    only_valid = {"image": np.repeat(img[:1], 2, axis=0),
+                  "depth": np.repeat(depth[:1], 2, axis=0),
+                  "has_valid_depth": np.array([True, True])}
+
+    m_mixed, si_mixed = validate(args, eval_step, state, [mixed])
+    m_ref, si_ref = validate(args, eval_step, state, [only_valid])
+    for k in m_ref:
+        np.testing.assert_allclose(m_mixed[k], m_ref[k], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(si_mixed.get_value(), si_ref.get_value(),
+                               rtol=1e-5)
+    assert np.isfinite(si_mixed.get_value())
+
+    # an all-invalid batch is skipped entirely
+    none_valid = {"image": img, "depth": depth,
+                  "has_valid_depth": np.array([False, False])}
+    m_none, si_none = validate(args, eval_step, state, [none_valid])
+    assert all(np.isnan(v) for v in m_none.values())
