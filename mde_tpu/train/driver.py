@@ -44,13 +44,19 @@ def _apply_pretrained_backbone(state, args, compute_dtype):
     new_params = dict(state.params)
     enc = jax.tree_util.tree_map(jnp.asarray, params)
     cur_enc = state.params["encoder"]
-    # input-insertion: widen the stem kernel, pretrained RGB slice first
+    # input-insertion: widen the stem kernel, pretrained RGB slice first.
+    # With image='none' the stem sees only cue channels and the reference
+    # re-creates conv_stem with random init (unet_adaptive_bins.py:349-354),
+    # so keep the randomly initialized stem instead of grafting RGB weights.
     stem = enc["conv_stem"]["kernel"]
     cur_stem = cur_enc["conv_stem"]["kernel"]
     if stem.shape != cur_stem.shape:
-        widened = np.asarray(cur_stem).copy()
-        widened[:, :, :stem.shape[2], :] = np.asarray(stem)[:, :, :widened.shape[2], :]
-        enc["conv_stem"]["kernel"] = jnp.asarray(widened)
+        if getattr(args, "image", "rgb") == "none":
+            enc["conv_stem"]["kernel"] = cur_stem
+        else:
+            widened = np.asarray(cur_stem).copy()
+            widened[:, :, :stem.shape[2], :] = np.asarray(stem)[:, :, :widened.shape[2], :]
+            enc["conv_stem"]["kernel"] = jnp.asarray(widened)
     new_params["encoder"] = enc
     new_stats = dict(state.batch_stats)
     new_stats["encoder"] = jax.tree_util.tree_map(jnp.asarray, stats)
@@ -106,6 +112,18 @@ def main_train(args, max_steps=None, interactive=True):
     train_step = make_train_step(model, args, sem_embedder, inst_embedder, mesh)
     eval_step = make_eval_step(model, args, sem_embedder, inst_embedder)
 
+    # qualitative-figure forward: one extra inference pass per 500 steps on
+    # the current train batch (the reference reuses the autograd pred; here
+    # the train step is fused on-device, so a separate eval-mode forward is
+    # the cheap way to get a pred back on the host)
+    @jax.jit
+    def qual_forward(params, batch_stats, arrays):
+        from ..train.loop import _embed_cues
+        sem, lab, areas = _embed_cues(arrays, sem_embedder, inst_embedder)
+        _, pred = model.apply({"params": params, "batch_stats": batch_stats},
+                              arrays["image"], sem, lab, areas, train=False)
+        return pred
+
     run_id = make_run_id(args)
     experiment_name = args.name
     exp_dir = getattr(args, "exp_dir", None)
@@ -135,6 +153,12 @@ def main_train(args, max_steps=None, interactive=True):
                 logger.add_scalar("Train/Loss", float(metrics["loss"]), step)
                 logger.add_scalar("Train/SILog", float(metrics["silog"]), step)
                 logger.add_scalar("Train/ChamferLoss", float(metrics["chamfer"]), step)
+            if step % 500 == 0:
+                # qualitative grid every 500 steps (reference train.py:437-452)
+                arrays = _device_batch(batch)
+                pred = qual_forward(state.params, state.batch_stats, arrays)
+                _log_qual_figure(logger, graph_builder, "Train/QualSamples",
+                                 args, batch, pred, step)
             step += 1
 
             if step % args.validate_every == 0 or (max_steps and step >= max_steps):
@@ -143,6 +167,13 @@ def main_train(args, max_steps=None, interactive=True):
                 logger.add_scalar("Test/SILog", val_si.get_value(), step)
                 for k, v in m.items():
                     logger.add_scalar(f"Metrics/{k}", v, step)
+                # the reference's Test/QualSamples grid is also built from the
+                # last *train* batch (train.py:476-490 reuses img/depth/pred
+                # from the train loop, not validate()'s returns) — match that
+                arrays = _device_batch(batch)
+                pred = qual_forward(state.params, state.batch_stats, arrays)
+                _log_qual_figure(logger, graph_builder, "Test/QualSamples",
+                                 args, batch, pred, step)
                 save_checkpoint(state, epoch, f"{experiment_name}_{run_id}_latest",
                                 root=exp_dir)
                 if m.get("abs_rel", np.inf) < best_loss:
@@ -174,3 +205,20 @@ def _device_batch(batch):
     """Strip non-array fields before handing the batch to jit."""
     return {k: v for k, v in batch.items()
             if k in ("image", "depth", "semantics", "instance_labels", "instance_areas")}
+
+
+def _log_qual_figure(logger, graph_builder, tag, args, batch, pred, step):
+    """Build + emit one qualitative grid (reference train.py:437-452): RGB,
+    GT, pred, and colorized raw cue maps when the run uses them."""
+    sem_color = None
+    inst_color = None
+    if args.use_semantics is not None and "semantics" in batch:
+        sem_color = visualize_semantics(np.asarray(batch["semantics"]))
+    if args.use_instance_segmentation is not None and "instance_labels" in batch:
+        inst_color = visualize_semantics(np.asarray(batch["instance_labels"]))
+    graph_builder.add_image(np.asarray(batch["image"]),
+                            np.asarray(batch["depth"]),
+                            np.asarray(pred, dtype=np.float32),
+                            semantics=sem_color, instance_labels=inst_color)
+    logger.add_figure(tag, graph_builder.fig, step)
+    graph_builder.reset()

@@ -80,6 +80,17 @@ def test_train_and_eval_smoke(tree, tmp_path):
     assert any("latest" in e for e in entries), entries
     assert "events.jsonl" in entries
 
+    # qualitative figure grids were emitted: step-0 Train/QualSamples and the
+    # validation-time Test/QualSamples (reference train.py:437-452, 476-490)
+    import json
+    events = [json.loads(l) for l in open(os.path.join(exp_dir, "events.jsonl"))]
+    fig_tags = {e["tag"] for e in events if "figure" in e}
+    assert "Train/QualSamples" in fig_tags, fig_tags
+    assert "Test/QualSamples" in fig_tags, fig_tags
+    for e in events:
+        if "figure" in e:
+            assert os.path.exists(e["figure"]), e
+
     # evaluate with the in-memory state (nyu crop indices exceed the tiny
     # frame, so run uncropped)
     args2 = _args(root, split, tmp_path, eval_split)
