@@ -181,7 +181,9 @@ class DepthDataset:
         # random rotation (reference dataloader.py:186-194)
         if args.do_random_rotate:
             angle = (rng.random() - 0.5) * 2 * args.degree
-            image = T.rotate(image, angle, nearest=False)
+            # PIL rotates the uint8 image (reference dataloader.py:186-194),
+            # re-quantizing bilinear output to integer steps (round half up)
+            image = np.floor(T.rotate(image, angle, nearest=False) + 0.5)
             depth = T.rotate(depth, angle, nearest=True)
             maps = {k: T.rotate(v, angle, nearest=True) for k, v in maps.items()}
 

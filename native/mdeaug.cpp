@@ -139,7 +139,8 @@ void augment_one(const uint8_t* rgb, const uint16_t* depth,
                   ? (float)rgb[(yy * in_w + xx) * 3 + ch]
                   : 0.f;
         } else {
-          v = bilinear_u8(rgb, in_h, in_w, 3, sy, sx, ch);
+          // PIL re-quantizes the rotated uint8 image; match its round-half-up
+          v = std::floor(bilinear_u8(rgb, in_h, in_w, 3, sy, sx, ch) + 0.5f);
         }
         v *= (1.f / 255.f);
         if (p.do_augment) {
