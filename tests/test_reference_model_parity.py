@@ -1,0 +1,260 @@
+"""Full-model value parity vs the reference's own torch implementation.
+
+VERDICT r1 item 2: component parity tests can't catch wiring drift across the
+assembled model, so this test builds the reference's UnetAdaptiveBins from its
+own code under /root/reference/models (torch CPU, random weights), runs
+`convert_reference_checkpoint` on its state_dict, and asserts the flax forward
+matches the torch forward bit-for-bit (to f32 accumulation tolerance) at a
+>=129-token resolution (320x416 -> 130 mViT tokens).
+
+torch.hub is bypassed by constructing the EfficientNet basemodel here with the
+exact gen-efficientnet module layout/naming the reference walks
+(unet_adaptive_bins.py:103-116) and the converter expects.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+sys.path.insert(0, "/root/reference")  # the reference's own model code
+from models.unet_adaptive_bins import UnetAdaptiveBins as TorchUnet  # noqa: E402
+from models.unet_adaptive_bins import Conv2dSame  # noqa: E402
+from models.miniViT import mViT as TorchMViT  # noqa: E402
+
+from mde_tpu.checkpoint import convert_reference_checkpoint  # noqa: E402
+from mde_tpu.models import build_model  # noqa: E402
+
+
+# --------------------------------------------------------------- torch encoder
+# gen-efficientnet tf_efficientnet_{b1}_ap replica: same module names/ordering
+# as the hub model (conv_stem, bn1, act1, blocks.{s}.{r}.*, conv_head, bn2,
+# act2, global_pool, classifier) so Encoder.forward's feature walk and the
+# checkpoint converter both see the real layout.
+
+class _SE(nn.Module):
+    def __init__(self, chs, reduced):
+        super().__init__()
+        self.conv_reduce = nn.Conv2d(chs, reduced, 1)
+        self.conv_expand = nn.Conv2d(reduced, chs, 1)
+
+    def forward(self, x):
+        g = x.mean((2, 3), keepdim=True)
+        g = F.silu(self.conv_reduce(g))
+        return x * torch.sigmoid(self.conv_expand(g))
+
+
+class _DSBlock(nn.Module):
+    """Stage-0 depthwise-separable block."""
+
+    def __init__(self, in_chs, out_chs, k, s):
+        super().__init__()
+        self.conv_dw = Conv2dSame(in_chs, in_chs, k, stride=s, groups=in_chs, bias=False)
+        self.bn1 = nn.BatchNorm2d(in_chs, eps=1e-3)
+        self.se = _SE(in_chs, max(1, int(in_chs * 0.25)))
+        self.conv_pw = Conv2dSame(in_chs, out_chs, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(out_chs, eps=1e-3)
+        self.has_skip = s == 1 and in_chs == out_chs
+
+    def forward(self, x):
+        y = F.silu(self.bn1(self.conv_dw(x)))
+        y = self.se(y)
+        y = self.bn2(self.conv_pw(y))
+        return y + x if self.has_skip else y
+
+
+class _IRBlock(nn.Module):
+    """MBConv block; SE reduction computed from block *input* channels."""
+
+    def __init__(self, in_chs, out_chs, k, s, expand):
+        super().__init__()
+        mid = in_chs * expand
+        self.conv_pw = Conv2dSame(in_chs, mid, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(mid, eps=1e-3)
+        self.conv_dw = Conv2dSame(mid, mid, k, stride=s, groups=mid, bias=False)
+        self.bn2 = nn.BatchNorm2d(mid, eps=1e-3)
+        self.se = _SE(mid, max(1, int(in_chs * 0.25)))
+        self.conv_pwl = Conv2dSame(mid, out_chs, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out_chs, eps=1e-3)
+        self.has_skip = s == 1 and in_chs == out_chs
+
+    def forward(self, x):
+        y = F.silu(self.bn1(self.conv_pw(x)))
+        y = F.silu(self.bn2(self.conv_dw(y)))
+        y = self.se(y)
+        y = self.bn3(self.conv_pwl(y))
+        return y + x if self.has_skip else y
+
+
+def make_basemodel(arch="efficientnet-b1"):
+    from mde_tpu.models.efficientnet import (_B0_STAGES, EFFICIENTNET_CONFIGS,
+                                             round_channels, round_repeats)
+    width, depth = EFFICIENTNET_CONFIGS[arch]
+    m = nn.Module()
+    stem = round_channels(32, width)
+    m.conv_stem = Conv2dSame(3, stem, 3, stride=2, bias=False)
+    m.bn1 = nn.BatchNorm2d(stem, eps=1e-3)
+    m.act1 = nn.SiLU()
+    stages = []
+    in_chs = stem
+    for (expand, k, s, base_c, base_r) in _B0_STAGES:
+        out_chs = round_channels(base_c, width)
+        blocks = []
+        for rep in range(round_repeats(base_r, depth)):
+            stride = s if rep == 0 else 1
+            if expand == 1:
+                blocks.append(_DSBlock(in_chs, out_chs, k, stride))
+            else:
+                blocks.append(_IRBlock(in_chs, out_chs, k, stride, expand))
+            in_chs = out_chs
+        stages.append(nn.Sequential(*blocks))
+    m.blocks = nn.Sequential(*stages)
+    head = round_channels(1280, width)
+    m.conv_head = Conv2dSame(in_chs, head, 1, bias=False)
+    m.bn2 = nn.BatchNorm2d(head, eps=1e-3)
+    m.act2 = nn.SiLU()
+    m.global_pool = nn.Identity()
+    m.classifier = nn.Identity()
+    return m
+
+
+def randomize_(model: nn.Module, seed: int):
+    """Random weights everywhere, including BN affine + running stats, so any
+    eps/ordering/transpose drift shows up in the output."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g, dtype=torch.float32) * 0.05)
+        for name, b in model.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(torch.randn(b.shape, generator=g, dtype=torch.float32) * 0.1)
+            elif name.endswith("running_var"):
+                b.copy_(torch.rand(b.shape, generator=g, dtype=torch.float32) + 0.5)
+
+
+def _nhwc(t):
+    return np.ascontiguousarray(t.detach().numpy().transpose(0, 2, 3, 1))
+
+
+def _flax_args(**kw):
+    base = dict(n_bins=100, min_depth=1e-3, max_depth=10.0, norm="linear",
+                encoder_name="efficientnet-b1", use_semantics=None,
+                use_instance_segmentation=None, insertion_point="before-attn",
+                image="rgb")
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+def _assert_full_model_parity(tmp_path, sem_mode=None, inst_mode=None,
+                              h=320, w=416, seed=0):
+    import jax.numpy as jnp
+
+    torch.manual_seed(seed)
+    tm = TorchUnet(make_basemodel(), n_bins=100, min_val=1e-3, max_val=10.0,
+                   norm="linear", encoder_name="efficientnet-b1",
+                   semantics_mode=sem_mode, instance_segmentation_mode=inst_mode,
+                   insertion_point="before-attn", image="rgb")
+    randomize_(tm, seed)
+    tm.eval()
+
+    g = torch.Generator().manual_seed(seed + 1)
+    x = torch.randn(2, 3, h, w, generator=g)
+    sem = inst_lab = inst_area = None
+    if sem_mode == "glove-25d-inst-areas":
+        sem = torch.randn(2, 26, h, w, generator=g)
+    if inst_mode == "coco":
+        inst_lab = torch.randn(2, 25, h, w, generator=g)
+        inst_area = torch.rand(2, 1, h, w, generator=g) * 500.0
+
+    with torch.no_grad():
+        edges_t, pred_t = tm(x, semantics=sem, instance_labels=inst_lab,
+                             instance_areas=inst_area)
+
+    ckpt = tmp_path / "ref_random.pt"
+    torch.save({"model": tm.state_dict()}, str(ckpt))
+    params, stats = convert_reference_checkpoint(str(ckpt), "efficientnet-b1")
+
+    model = build_model(_flax_args(use_semantics=sem_mode,
+                                   use_instance_segmentation=inst_mode),
+                        dtype=jnp.float32)
+    # apply directly with the converted trees: any missing/extra/misnamed
+    # parameter fails loudly here
+    edges_f, pred_f = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(_nhwc(x)),
+        jnp.asarray(_nhwc(sem)) if sem is not None else None,
+        jnp.asarray(_nhwc(inst_lab)) if inst_lab is not None else None,
+        jnp.asarray(_nhwc(inst_area)) if inst_area is not None else None,
+        train=False)
+
+    np.testing.assert_allclose(np.asarray(edges_f), edges_t.numpy(),
+                               rtol=2e-3, atol=2e-4,
+                               err_msg="bin_edges diverged from reference torch model")
+    np.testing.assert_allclose(np.asarray(pred_f)[..., 0], pred_t.numpy()[:, 0],
+                               rtol=2e-3, atol=2e-3,
+                               err_msg="pred diverged from reference torch model")
+
+
+def test_full_model_parity_b1_adabins(tmp_path):
+    _assert_full_model_parity(tmp_path)
+
+
+def test_full_model_parity_b1_cues(tmp_path):
+    _assert_full_model_parity(tmp_path, sem_mode="glove-25d-inst-areas",
+                              inst_mode="coco")
+
+
+def test_mvit_truncation_regime_parity():
+    """Below 129 tokens the reference mViT silently truncates the query slice
+    (miniViT.py:29-30); the flax head must truncate identically. Tested at the
+    module level because the full torch model's fixed-width conv_out cannot
+    run in this regime."""
+    import jax.numpy as jnp
+    from mde_tpu.checkpoint import _conv, _dense, _to_np
+    from mde_tpu.models.mvit import MViT
+
+    tm = TorchMViT(in_channels=128, n_query_channels=128, patch_size=16,
+                   dim_out=100, embedding_dim=128, norm="linear")
+    randomize_(tm, 3)
+    tm.eval()
+    g = torch.Generator().manual_seed(4)
+    x = torch.randn(2, 128, 32, 48, generator=g)  # 2x3 = 6 tokens, << 129
+    with torch.no_grad():
+        y_t, maps_t = tm(x)
+    assert maps_t.shape[1] == 5  # truncated: S-1 query channels
+
+    sd = tm.state_dict()
+    pt = {"embedding_convPxP": _conv(sd, "patch_transformer.embedding_convPxP"),
+          "positional_encodings": _to_np(sd["patch_transformer.positional_encodings"])}
+    for i in range(4):
+        src = f"patch_transformer.transformer_encoder.layers.{i}"
+        pt[f"layer_{i}"] = {
+            "self_attn": {
+                "in_proj": {"kernel": _to_np(sd[src + ".self_attn.in_proj_weight"]).T,
+                            "bias": _to_np(sd[src + ".self_attn.in_proj_bias"])},
+                "out_proj": _dense(sd, src + ".self_attn.out_proj"),
+            },
+            "linear1": _dense(sd, src + ".linear1"),
+            "linear2": _dense(sd, src + ".linear2"),
+            "norm1": {"scale": _to_np(sd[src + ".norm1.weight"]),
+                      "bias": _to_np(sd[src + ".norm1.bias"])},
+            "norm2": {"scale": _to_np(sd[src + ".norm2.weight"]),
+                      "bias": _to_np(sd[src + ".norm2.bias"])},
+        }
+    params = {"patch_transformer": pt, "conv3x3": _conv(sd, "conv3x3")}
+    for i, src_i in enumerate((0, 2, 4)):
+        params[f"regressor_{i}"] = _dense(sd, f"regressor.{src_i}")
+
+    head = MViT(n_query_channels=128, patch_size=16, dim_out=100,
+                embedding_dim=128, norm="linear", dtype=jnp.float32)
+    y_f, maps_f = head.apply({"params": params}, jnp.asarray(_nhwc(x)), True)
+
+    np.testing.assert_allclose(np.asarray(y_f), y_t.numpy(), rtol=2e-4, atol=1e-6)
+    # maps pass through 4 attention layers + conv + 128-dot: f32 reduction-order
+    # noise reaches ~1e-3 abs on O(5) values; wiring errors would be O(1)
+    np.testing.assert_allclose(np.asarray(maps_f).transpose(0, 3, 1, 2),
+                               maps_t.numpy(), rtol=1e-3, atol=2e-3)
