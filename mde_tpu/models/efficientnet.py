@@ -163,10 +163,18 @@ class EfficientNetEncoder(nn.Module):
     """
     arch: str = "efficientnet-b1"
     drop_path_rate: float = 0.2
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
+        # activation checkpointing (the reference's use_checkpoint capability,
+        # Swin-Transformer-Object-Detection swin_transformer.py:393): recompute
+        # each block in the backward instead of keeping its activations in HBM
+        ds_cls, ir_cls = DepthwiseSeparableBlock, InvertedResidualBlock
+        if self.remat:
+            ds_cls = nn.remat(DepthwiseSeparableBlock, static_argnums=(2,))
+            ir_cls = nn.remat(InvertedResidualBlock, static_argnums=(2,))
         width, depth = EFFICIENTNET_CONFIGS[self.arch]
         stem_chs = round_channels(32, width)
         head_chs = round_channels(1280, width)
@@ -193,11 +201,11 @@ class EfficientNetEncoder(nn.Module):
                 dp_rate = self.drop_path_rate * block_idx / total_blocks
                 name = f"blocks_{stage_i}_{rep}"
                 if expand == 1:
-                    y = DepthwiseSeparableBlock(out_chs, kernel, s, se_reduced,
-                                                dp_rate, self.dtype, name=name)(y, train)
+                    y = ds_cls(out_chs, kernel, s, se_reduced,
+                               dp_rate, self.dtype, name=name)(y, train)
                 else:
-                    y = InvertedResidualBlock(out_chs, kernel, s, expand, se_reduced,
-                                              dp_rate, self.dtype, name=name)(y, train)
+                    y = ir_cls(out_chs, kernel, s, expand, se_reduced,
+                               dp_rate, self.dtype, name=name)(y, train)
                 block_idx += 1
             features.append(y)
 

@@ -84,6 +84,7 @@ class UnetAdaptiveBins(nn.Module):
     instance_segmentation_mode: Optional[str] = None
     insertion_point: str = "before-attn"
     image: str = "rgb"
+    remat: str = "none"            # "none" | "encoder" — activation ckpt policy
     dtype: Any = jnp.float32
 
     def _arch(self) -> str:
@@ -135,6 +136,7 @@ class UnetAdaptiveBins(nn.Module):
             x = x[..., 3:]
 
         features = EfficientNetEncoder(self._arch(), dtype=self.dtype,
+                                       remat=self.remat == "encoder",
                                        name="encoder")(x.astype(self.dtype), train=train)
         num_features = 2048 if self._arch() == "efficientnet-b5" else 1280
         unet_out = DecoderBN(num_features=num_features, num_classes=128,
@@ -206,5 +208,6 @@ def build_model(args, n_bins=None, dtype=jnp.float32) -> UnetAdaptiveBins:
         instance_segmentation_mode=args.use_instance_segmentation,
         insertion_point=args.insertion_point,
         image=args.image,
+        remat=getattr(args, "remat", "none") or "none",
         dtype=dtype,
     )

@@ -99,10 +99,12 @@ class CascadeMaskRCNN(nn.Module):
     """Full detector; __call__ returns raw head outputs, `infer` assembles
     detections + masks for one image."""
     num_classes: int = 100
+    use_checkpoint: bool = False   # remat Swin blocks (training memory)
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = SwinTransformer(dtype=self.dtype, name="backbone")
+        self.backbone = SwinTransformer(dtype=self.dtype, name="backbone",
+                                        use_checkpoint=self.use_checkpoint)
         self.neck = FPN(dtype=self.dtype, name="neck")
         self.rpn_head = RPNHead(dtype=self.dtype, name="rpn_head")
         self.bbox_heads = [ConvFCBBoxHead(self.num_classes, self.dtype,

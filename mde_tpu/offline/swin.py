@@ -181,10 +181,13 @@ class SwinTransformer(nn.Module):
     num_heads: Sequence[int] = (4, 8, 16, 32)
     window_size: int = 7
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    use_checkpoint: bool = False   # remat each block (reference trains the
+    # detector with use_checkpoint=True, swin_transformer.py:393)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        block_cls = nn.remat(SwinBlock) if self.use_checkpoint else SwinBlock
         # patch embed: 4x4 stride-4 conv + LN (patch_norm=True)
         h_in, w_in = x.shape[1:3]
         pad_b = (4 - h_in % 4) % 4
@@ -200,7 +203,7 @@ class SwinTransformer(nn.Module):
         for stage, depth in enumerate(self.depths):
             for blk in range(depth):
                 shift = 0 if blk % 2 == 0 else self.window_size // 2
-                y = SwinBlock(dim, self.num_heads[stage], self.window_size,
+                y = block_cls(dim, self.num_heads[stage], self.window_size,
                               shift, dtype=self.dtype,
                               name=f"stage{stage}_block{blk}")(y)
             if stage in self.out_indices:

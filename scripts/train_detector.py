@@ -53,7 +53,11 @@ def main():
     print(f"{len(ds)} annotated images")
     steps_per_epoch = len(ds)
 
-    model = CascadeMaskRCNN(num_classes=args.num_classes, dtype=jnp.bfloat16)
+    # use_checkpoint=True matches the reference detector config
+    # (cascade_mask_rcnn_swin_base ade20k) and is what makes 1333x800
+    # training fit in HBM
+    model = CascadeMaskRCNN(num_classes=args.num_classes, dtype=jnp.bfloat16,
+                            use_checkpoint=True)
     rng = np.random.default_rng(args.seed)
     sample = ds.train_sample(rng, 0)
     variables = model.init({"params": jax.random.PRNGKey(args.seed)},
