@@ -232,26 +232,26 @@ def rcnn_stage_loss(cls_logits, decoded_boxes, targets, num_classes: int,
 
 
 def mask_targets(gt_masks_full, targets, mask_size: int = 28):
-    """Crop each positive roi's matched GT mask and resize to 28x28.
+    """Crop each roi's matched GT mask to 28x28 mask-head targets.
 
-    gt_masks_full: (G, H, W) float; returns (num, 28, 28) targets aligned
-    with the sampled rois (zeros for negatives)."""
-    from ..ops.resize import resize_bilinear_half_pixel
+    mmdet builds these with bilinear roi_align on the GT bitmap followed by
+    a >=0.5 binarize (BitmapMasks.crop_and_resize via mask_target_single),
+    NOT nearest sampling — bilinear+threshold shifts boundary pixels by up to
+    half a cell vs nearest, which matters for mask-head training fidelity.
+
+    gt_masks_full: (G, H, W) float; returns (num, 28, 28) {0,1} targets
+    aligned with the sampled rois."""
+    from .detection_ops import roi_align
 
     rois = targets["rois"]
-    gt_idx = targets["gt_idx"]
-    g, h, w = gt_masks_full.shape
+    masks = jnp.take(gt_masks_full.astype(jnp.float32), targets["gt_idx"], axis=0)
 
-    def one(roi, gi):
-        mask = gt_masks_full[gi]
-        # sample a 28x28 grid inside the roi (half-pixel convention)
-        ys = roi[1] + (jnp.arange(mask_size) + 0.5) / mask_size * (roi[3] - roi[1])
-        xs = roi[0] + (jnp.arange(mask_size) + 0.5) / mask_size * (roi[2] - roi[0])
-        yi = jnp.clip(ys.astype(jnp.int32), 0, h - 1)
-        xi = jnp.clip(xs.astype(jnp.int32), 0, w - 1)
-        return mask[yi][:, xi]
+    def one(mask, roi):
+        out = roi_align(mask[None, :, :, None], roi[None], mask_size, 1.0)
+        return out[0, :, :, 0]
 
-    return jax.vmap(one)(rois, gt_idx)
+    vals = jax.vmap(one)(masks, rois)
+    return (vals >= 0.5).astype(jnp.float32)
 
 
 def mask_loss(mask_logits, targets, mask_tgts):

@@ -164,3 +164,36 @@ def test_mask_targets_and_loss():
     logits = jnp.full((2, 28, 28, 100), 5.0)  # confident foreground
     loss = float(mask_loss(logits, t, tgts))
     assert loss < 0.1
+
+
+def test_mask_targets_bilinear_oracle():
+    """mask_targets must match mmdet's crop_and_resize semantics: aligned
+    roi_align bilinear taps averaged per bin, then binarized at 0.5. Oracle =
+    scipy map_coordinates(order=1) at the same 2-tap-per-bin lattice."""
+    from scipy.ndimage import map_coordinates
+
+    rng = np.random.default_rng(11)
+    mask = (rng.random((64, 80)) > 0.6).astype(np.float32)
+    # smooth it so bilinear-vs-nearest actually differ at many cells
+    mask[20:40, 25:55] = 1.0
+    roi = np.array([13.3, 9.7, 58.9, 50.2], np.float32)
+    p, s = 28, 2
+
+    x1, y1, x2, y2 = roi - np.array([0.5, 0.5, 0.5, 0.5])
+    bw, bh = (x2 - x1) / p, (y2 - y1) / p
+    xs = x1 + (np.arange(p)[:, None] + (np.arange(s) + 0.5)[None, :] / s) * bw
+    ys = y1 + (np.arange(p)[:, None] + (np.arange(s) + 0.5)[None, :] / s) * bh
+    oracle = np.zeros((p, p), np.float32)
+    for i in range(p):
+        for j in range(p):
+            yy, xx = np.meshgrid(ys[i], xs[j], indexing="ij")
+            taps = map_coordinates(mask, [yy.ravel(), xx.ravel()], order=1,
+                                   mode="constant")
+            oracle[i, j] = taps.mean()
+    oracle = (oracle >= 0.5).astype(np.float32)
+
+    t = {"rois": jnp.asarray(roi[None]), "gt_idx": jnp.asarray([0]),
+         "labels": jnp.asarray([1]), "is_pos": jnp.asarray([True]),
+         "valid": jnp.asarray([True])}
+    got = np.asarray(mask_targets(jnp.asarray(mask[None]), t))[0]
+    np.testing.assert_array_equal(got, oracle)
