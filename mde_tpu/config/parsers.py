@@ -171,6 +171,16 @@ class TrainArgParser(CommonArgParser):
         # capability, swin_transformer.py:393).
         self.add_argument('--remat', default='none', choices=['none', 'encoder'],
                           help='activation checkpointing policy for training')
+        # TPU-native extension: opt-in Pallas kernels for the hot ops. Both
+        # are bit-compatible with the default XLA paths (kernels/ tests) and
+        # TPU-only; the defaults are whichever implementation measured faster
+        # inside the fused train step (CLAUDE.md perf notes).
+        self.add_argument('--use_pallas_chamfer', default=False, action='store_true',
+                          help='use the Pallas chamfer kernel in the train step '
+                               '(default: jnp scan, which overlaps better in-step)')
+        self.add_argument('--use_fused_head', default=False, action='store_true',
+                          help='fuse conv_out+softmax+bin-centers into a Pallas '
+                               'kernel (skips the HBM round-trip of the bin logits)')
 
 
 class EvalArgParser(CommonArgParser):

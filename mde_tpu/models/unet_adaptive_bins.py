@@ -32,6 +32,22 @@ from .efficientnet import EfficientNetEncoder
 from .mvit import MViT
 
 
+class _ConvOutParams(nn.Module):
+    """Parameters of the 'conv_out' 1x1 conv, declared without the conv so the
+    fused Pallas bins-head kernel can consume them directly. Param names,
+    shapes, and initializers match nn.Conv exactly — checkpoints are
+    interchangeable between the fused and unfused paths."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 def get_num_channels_to_add(encoder_name: str, semantics_mode: Optional[str],
                             instance_segmentation_mode: Optional[str],
                             image: str) -> int:
@@ -85,6 +101,7 @@ class UnetAdaptiveBins(nn.Module):
     insertion_point: str = "before-attn"
     image: str = "rgb"
     remat: str = "none"            # "none" | "encoder" — activation ckpt policy
+    fused_head: bool = False       # Pallas conv+softmax+centers head (TPU only)
     dtype: Any = jnp.float32
 
     def _arch(self) -> str:
@@ -185,12 +202,18 @@ class UnetAdaptiveBins(nn.Module):
             embedding_dim=128, norm=self.norm, dtype=self.dtype,
             name="adaptive_bins_layer")(unet_out, deterministic)
 
-        out = nn.Conv(self.n_bins, (1, 1), name="conv_out", dtype=self.dtype)(range_attention_maps)
-        out = nn.softmax(out.astype(jnp.float32), axis=-1)
-
         bin_edges = bin_edges_from_widths(bin_widths_normed, self.min_val, self.max_val)
         centers = bin_centers(bin_edges)
-        pred = depth_from_bins(out, centers)
+
+        _, h, w, cin = range_attention_maps.shape
+        from ..kernels.bins_head import fused_bins_head, fused_head_supported
+        if self.fused_head and cin == 128 and fused_head_supported(h, w, self.n_bins):
+            kernel, bias = _ConvOutParams(self.n_bins, cin, name="conv_out")()
+            pred = fused_bins_head(range_attention_maps, kernel, bias, centers)
+        else:
+            out = nn.Conv(self.n_bins, (1, 1), name="conv_out", dtype=self.dtype)(range_attention_maps)
+            out = nn.softmax(out.astype(jnp.float32), axis=-1)
+            pred = depth_from_bins(out, centers)
         return bin_edges, pred
 
 
@@ -209,5 +232,6 @@ def build_model(args, n_bins=None, dtype=jnp.float32) -> UnetAdaptiveBins:
         insertion_point=args.insertion_point,
         image=args.image,
         remat=getattr(args, "remat", "none") or "none",
+        fused_head=bool(getattr(args, "use_fused_head", False)),
         dtype=dtype,
     )

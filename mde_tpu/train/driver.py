@@ -75,6 +75,8 @@ def main_train(args, max_steps=None, interactive=True):
 
     compute_dtype = jnp.bfloat16 if getattr(args, "compute_dtype", "bfloat16") == "bfloat16" \
         else jnp.float32
+    if np.asarray(mesh.devices).flat[0].platform in ("cpu", "gpu"):
+        args.use_fused_head = False  # Mosaic kernels are TPU-only
     model = build_model(args, dtype=compute_dtype)
 
     sem_embedder = SemanticsEmbedder(args) if args.use_semantics else None

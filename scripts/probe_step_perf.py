@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""A/B the flagship train step on the real TPU across head/chamfer/remat/batch
+variants, all in one process (warm compile tunnel). Prints one JSON line per
+variant. Used to pick bench.py's defaults (round-2 perf pass)."""
+
+import json
+import os
+import sys
+import time
+import types
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H, W = 416, 544
+N_BINS = 256
+WARMUP = 3
+ITERS = 10
+
+
+def make_args(**over):
+    base = dict(
+        n_bins=N_BINS, min_depth=1e-3, max_depth=10.0, norm="linear",
+        encoder_name="efficientnet-b1", use_semantics=None,
+        use_instance_segmentation=None, insertion_point="before-attn",
+        image="rgb", w_chamfer=0.1, chamfer=True, epochs=25, lr=0.000357,
+        wd=0.1, div_factor=25.0, final_div_factor=100.0, same_lr=False,
+        seed=0, remat="none", use_fused_head=False, use_pallas_chamfer=False)
+    base.update(over)
+    return types.SimpleNamespace(**base)
+
+
+def run_variant(name, batch_size, **over):
+    from mde_tpu.models import build_model
+    from mde_tpu.parallel import make_mesh, batch_sharding, replicated_sharding
+    from mde_tpu.train.loop import make_train_step
+    from mde_tpu.train.state import create_train_state
+
+    args = make_args(**over)
+    mesh = make_mesh()
+    model = build_model(args, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((batch_size, H, W, 3), dtype=np.float32))
+    depth = jnp.asarray(rng.random((batch_size, H, W, 1), dtype=np.float32) * 9.9 + 0.05)
+    state = batch = train_step = metrics = None
+    try:
+        state = create_train_state(model, args, jax.random.PRNGKey(0), (img,),
+                                   steps_per_epoch=2693)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        batch = {"image": jax.device_put(img, batch_sharding(mesh)),
+                 "depth": jax.device_put(depth, batch_sharding(mesh))}
+        train_step = make_train_step(model, args, None, None, mesh)
+        t0 = time.perf_counter()
+        for i in range(WARMUP):
+            state, metrics = train_step(state, batch, jax.random.fold_in(
+                jax.random.PRNGKey(1), i))
+        jax.block_until_ready(metrics["loss"])
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            state, metrics = train_step(state, batch, jax.random.fold_in(
+                jax.random.PRNGKey(1), 100 + i))
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "variant": name, "bs": batch_size,
+            "img_per_sec": round(batch_size * ITERS / dt, 1),
+            "ms_per_step": round(1e3 * dt / ITERS, 2),
+            "loss": float(metrics["loss"]),
+            "compile_s": round(compile_s, 1)}), flush=True)
+    except Exception as e:  # noqa: BLE001 — report OOM/compile failures per variant
+        print(json.dumps({"variant": name, "bs": batch_size,
+                          "error": f"{type(e).__name__}: {str(e)[:300]}"}),
+              flush=True)
+    finally:
+        del state, batch, train_step
+        jax.clear_caches()
+
+
+VARIANTS = {
+    "baseline": (16, {}),
+    "fused_head": (16, dict(use_fused_head=True)),
+    "fused_head+pallas_chamfer": (16, dict(use_fused_head=True,
+                                           use_pallas_chamfer=True)),
+    "fused_head_bs24": (24, dict(use_fused_head=True)),
+    "fused_head+remat_bs32": (32, dict(use_fused_head=True, remat="encoder")),
+    "fused_head_bs32": (32, dict(use_fused_head=True)),
+    "baseline_bs24": (24, {}),
+    "remat_bs32": (32, dict(remat="encoder")),
+}
+
+
+def main():
+    print(json.dumps({"devices": [str(d) for d in jax.devices()]}), flush=True)
+    names = sys.argv[1:] or ["baseline", "fused_head", "fused_head+pallas_chamfer",
+                             "fused_head_bs24", "fused_head+remat_bs32",
+                             "fused_head_bs32"]
+    for name in names:
+        bs, over = VARIANTS[name]
+        run_variant(name, bs, **over)
+
+
+if __name__ == "__main__":
+    main()
