@@ -13,6 +13,14 @@ a documented estimate of the reference stack on its own training hardware
 (2x GTX 1080, README.md:107): PyTorch AdaBins-B1 at 416x544 sustains roughly
 12 images/sec/GPU (fp32, cuDNN, bs 4-5 per 8GB card — consistent with the
 AdaBins paper's reported training times). vs_baseline = value / 12.0.
+
+Timing method (round 2): all ITERS steps run inside one lax.scan dispatch and
+the window closes with a scalar fetch. This is robust to dev-tunnel
+pathologies observed 2026-08-16 (per-dispatch RTT ~300ms; block_until_ready
+returning before device work completes — see CLAUDE.md). Round-1 numbers were
+taken with per-step dispatch + block_until_ready on a healthy tunnel; on
+healthy hardware the two methods agree, on a degraded tunnel only this one
+reports real device throughput.
 """
 
 import json
@@ -27,7 +35,6 @@ REF_IMAGES_PER_SEC_PER_CHIP = 12.0  # documented estimate, see module docstring
 BATCH = 16
 H, W = 416, 544
 N_BINS = 256
-WARMUP = 3
 ITERS = 10
 
 
@@ -37,16 +44,23 @@ def main():
     from mde_tpu.train.loop import make_train_step
     from mde_tpu.train.state import create_train_state
 
+    # Best-known perf config: both Pallas kernels on (chamfer + fused bins
+    # head). Measured 2026-08-17: 251 vs 370 ms/step over the XLA paths on a
+    # degraded tunnel (per-op overhead regime); on the healthy round-1 tunnel
+    # the fused head won standalone (6.6 vs 10.9 ms) and the chamfer kernel
+    # cost ~1 ms in-step — net positive or neutral in both regimes.
     args = types.SimpleNamespace(
         n_bins=N_BINS, min_depth=1e-3, max_depth=10.0, norm="linear",
         encoder_name="efficientnet-b1", use_semantics=None,
         use_instance_segmentation=None, insertion_point="before-attn",
         image="rgb", w_chamfer=0.1, chamfer=True, epochs=25, lr=0.000357,
         wd=0.1, div_factor=25.0, final_div_factor=100.0, same_lr=False,
-        seed=0)
+        seed=0, use_fused_head=True, use_pallas_chamfer=True)
 
     mesh = make_mesh()
     n_chips = mesh.devices.size
+    if np.asarray(mesh.devices).flat[0].platform in ("cpu", "gpu"):
+        args.use_fused_head = args.use_pallas_chamfer = False  # Mosaic is TPU-only
     model = build_model(args, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
@@ -62,14 +76,26 @@ def main():
     train_step = make_train_step(model, args, None, None, mesh)
     step_rng = jax.random.PRNGKey(1)
 
-    for i in range(WARMUP):
-        state, metrics = train_step(state, batch, jax.random.fold_in(step_rng, i))
-    jax.block_until_ready(metrics["loss"])
+    # All ITERS steps run inside one lax.scan under a single jit dispatch, and
+    # the measurement closes with a scalar *fetch*: per-step host dispatch and
+    # tunnel round-trips are excluded, and early-returning block_until_ready
+    # (CLAUDE.md) can't fake the timing.
+    import functools
 
+    @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+    def run_steps(state, batch, rng, n):
+        def body(s, i):
+            s2, m = train_step.fn(s, batch, jax.random.fold_in(rng, i))
+            return s2, m["loss"]
+        return jax.lax.scan(body, state, jnp.arange(n))
+
+    # First call compiles and warms; second call (same static n -> cached) is
+    # the measurement.
+    state, losses = run_steps(state, batch, step_rng, ITERS)
+    _ = float(losses[-1])
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, metrics = train_step(state, batch, jax.random.fold_in(step_rng, 100 + i))
-    jax.block_until_ready(metrics["loss"])
+    state, losses = run_steps(state, batch, jax.random.fold_in(step_rng, 7), ITERS)
+    _ = float(losses[-1])
     dt = time.perf_counter() - t0
 
     images_per_sec = BATCH * ITERS / dt

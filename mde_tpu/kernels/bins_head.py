@@ -132,6 +132,10 @@ def _fwd_one(x, wt, bcol, ccol, interpret):
     out = pl.pallas_call(
         _fwd_kernel,
         grid=(hw // tile,),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * hw * _LANES * n,
+            bytes_accessed=hw * _LANES * x.dtype.itemsize + hw * 4 + n * _LANES * 4,
+            transcendentals=hw * n),
         in_specs=[
             pl.BlockSpec((tile, _LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, _LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -152,6 +156,11 @@ def _bwd_one(x, wt, bcol, ccol, g, interpret):
     dx, dwt, db, dc = pl.pallas_call(
         _bwd_kernel,
         grid=(hw // tile,),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * hw * _LANES * n,
+            bytes_accessed=2 * hw * _LANES * x.dtype.itemsize + 2 * hw * 4
+            + 3 * n * _LANES * 4,
+            transcendentals=hw * n),
         in_specs=[
             pl.BlockSpec((tile, _LANES), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, _LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),

@@ -103,6 +103,12 @@ def _chamfer_reductions(depth_flat, valid_flat, centers, tile: int,
     minpb_l, neard_l, cntpb_l, sumdpb_l, ymin = pl.pallas_call(
         _chamfer_kernel,
         grid=(nt,),
+        cost_estimate=pl.CostEstimate(
+            # ~10 VPU ops per (bin, pixel) pair; reads one (1, m) depth +
+            # valid row, writes tiny per-tile partials
+            flops=10 * p * m,
+            bytes_accessed=2 * m * 4 + 5 * p * _LANES * 4,
+            transcendentals=0),
         in_specs=[
             pl.BlockSpec((p, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda t: (0, t), memory_space=pltpu.VMEM),

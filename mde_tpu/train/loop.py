@@ -87,8 +87,7 @@ def make_train_step(model, args, sem_embedder, inst_embedder, mesh):
         loss = l_dense + w_chamfer * l_chamfer
         return loss, (mutated.get("batch_stats", batch_stats), l_dense, l_chamfer)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch, rng):
+    def step_fn(state: TrainState, batch, rng):
         (loss, (new_stats, l_dense, l_chamfer)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
         state = state.apply_gradients(grads=grads)
@@ -96,6 +95,10 @@ def make_train_step(model, args, sem_embedder, inst_embedder, mesh):
         metrics = {"loss": loss, "silog": l_dense, "chamfer": l_chamfer}
         return state, metrics
 
+    train_step = jax.jit(step_fn, donate_argnums=(0,))
+    # Unjitted body, so callers can scan N steps inside one dispatch
+    # (bench.py — one RPC per measurement window instead of per step).
+    train_step.fn = step_fn
     return train_step
 
 

@@ -17,12 +17,24 @@ B, H, W, C, N = 16, 208, 272, 128, 256
 ITERS = 20
 
 
+def _first_scalar(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.reshape(leaf, (-1,))[0].astype(jnp.float32))
+
+
 def timeit(name, fn, *args):
-    out = jax.block_until_ready(fn(*args))
+    """Chained timing with scalar readback — block_until_ready can return
+    early over the axon tunnel (CLAUDE.md)."""
+    out = fn(*args)
+    _first_scalar(out)
+    a0 = args[0]
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out = fn(a0, *args[1:])
+        leaf = jax.tree_util.tree_leaves(out)[-1]  # smallest: cheap chain sum
+        a0 = args[0] + jnp.zeros((), args[0].dtype)  # fresh buffer
+        a0 = a0 + (0 * jnp.sum(leaf)).astype(a0.dtype)
+    _first_scalar(out)
     ms = 1e3 * (time.perf_counter() - t0) / ITERS
     print(json.dumps({"which": name, "ms": round(ms, 3)}), flush=True)
     return out

@@ -19,11 +19,18 @@ ITERS = 10
 
 
 def timeit(name, fn, *args):
-    out = jax.block_until_ready(fn(*args))
+    """Chained timing with scalar readback — block_until_ready can return
+    early over the axon tunnel (CLAUDE.md)."""
+    out = fn(*args)
+    small = jax.tree_util.tree_leaves(out)[-1]
+    _ = float(jnp.reshape(small, (-1,))[0].astype(jnp.float32))
+    a1 = args[1]
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out = fn(args[0], a1, *args[2:])
+        small = jax.tree_util.tree_leaves(out)[-1]
+        a1 = args[1] + (0 * jnp.sum(small)).astype(args[1].dtype)
+    _ = float(jnp.reshape(small, (-1,))[0].astype(jnp.float32))
     ms = 1e3 * (time.perf_counter() - t0) / ITERS
     print(json.dumps({"which": name, "ms": round(ms, 2)}), flush=True)
     return out

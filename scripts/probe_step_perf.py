@@ -18,7 +18,7 @@ import numpy as np
 H, W = 416, 544
 N_BINS = 256
 WARMUP = 3
-ITERS = 10
+ITERS = int(os.environ.get("PROBE_ITERS", "10"))
 
 
 def make_args(**over):
@@ -53,23 +53,32 @@ def run_variant(name, batch_size, **over):
         batch = {"image": jax.device_put(img, batch_sharding(mesh)),
                  "depth": jax.device_put(depth, batch_sharding(mesh))}
         train_step = make_train_step(model, args, None, None, mesh)
+
+        # All ITERS steps inside one lax.scan dispatch + scalar fetch:
+        # per-step tunnel RTT excluded, async-lying block_until_ready
+        # excluded (CLAUDE.md).
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def run_steps(st, b, rng, n):
+            def body(s, i):
+                s2, m = train_step.fn(s, b, jax.random.fold_in(rng, i))
+                return s2, m["loss"]
+            return jax.lax.scan(body, st, jnp.arange(n))
+
         t0 = time.perf_counter()
-        for i in range(WARMUP):
-            state, metrics = train_step(state, batch, jax.random.fold_in(
-                jax.random.PRNGKey(1), i))
-        jax.block_until_ready(metrics["loss"])
+        state, losses = run_steps(state, batch, jax.random.PRNGKey(1), ITERS)
+        loss_val = float(losses[-1])
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        for i in range(ITERS):
-            state, metrics = train_step(state, batch, jax.random.fold_in(
-                jax.random.PRNGKey(1), 100 + i))
-        jax.block_until_ready(metrics["loss"])
+        state, losses = run_steps(state, batch, jax.random.PRNGKey(2), ITERS)
+        loss_val = float(losses[-1])
         dt = time.perf_counter() - t0
         print(json.dumps({
             "variant": name, "bs": batch_size,
             "img_per_sec": round(batch_size * ITERS / dt, 1),
             "ms_per_step": round(1e3 * dt / ITERS, 2),
-            "loss": float(metrics["loss"]),
+            "loss": loss_val,
             "compile_s": round(compile_s, 1)}), flush=True)
     except Exception as e:  # noqa: BLE001 — report OOM/compile failures per variant
         print(json.dumps({"variant": name, "bs": batch_size,
