@@ -69,7 +69,9 @@ def main():
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops = (cost or {}).get("flops", float("nan"))
 
-        run = lambda: jax.block_until_ready(step(variables, img))
+        # scalar fetch, not block_until_ready — the tunnel can return early
+        # (CLAUDE.md); the readback bounds real device time
+        run = lambda: float(step(variables, img)[1][0, 0, 0, 0])
     else:
         depth = jnp.asarray(rng.random(
             (args.batch, args.height, args.width, 1), dtype=np.float32) * 9.9 + 0.05)
@@ -84,7 +86,7 @@ def main():
         def run():
             nonlocal state
             state, metrics = train_step(state, batch, key)
-            jax.block_until_ready(metrics["loss"])
+            _ = float(metrics["loss"])  # fetch: see CLAUDE.md tunnel notes
 
     for _ in range(args.warmup):
         run()

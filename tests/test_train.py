@@ -143,3 +143,28 @@ def test_graft_entry_forward():
     edges, pred = jax.jit(fn)(*example_args)
     assert pred.shape[0] == example_args[0].shape[0]
     assert np.all(np.isfinite(np.asarray(pred, dtype=np.float32)))
+
+
+def test_train_step_fn_scan_matches_sequential(tiny_setup):
+    """make_train_step exposes the unjitted body as .fn; scanning it N steps
+    in one dispatch (bench.py's timing mode) must match N sequential jitted
+    calls."""
+    args, model, state, img, depth = tiny_setup
+    mesh = make_mesh("1", devices=jax.devices()[:1])
+    seq = _run_steps(args, model, state, img, depth, mesh, n_steps=3)
+
+    state2 = jax.tree_util.tree_map(jnp.array, state)
+    state2 = jax.device_put(state2, replicated_sharding(mesh))
+    batch = {"image": jax.device_put(img, batch_sharding(mesh)),
+             "depth": jax.device_put(depth, batch_sharding(mesh))}
+    step = make_train_step(model, args, None, None, mesh)
+
+    @jax.jit
+    def run3(st):
+        def body(s, _):
+            s2, m = step.fn(s, batch, jax.random.PRNGKey(100))
+            return s2, m["loss"]
+        return jax.lax.scan(body, st, None, length=3)
+
+    _, losses = run3(state2)
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(seq), rtol=2e-4)
