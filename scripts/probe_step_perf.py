@@ -33,7 +33,7 @@ def make_args(**over):
     return types.SimpleNamespace(**base)
 
 
-def run_variant(name, batch_size, **over):
+def run_variant(name, batch_size, shape=None, **over):
     from mde_tpu.models import build_model
     from mde_tpu.parallel import make_mesh, batch_sharding, replicated_sharding
     from mde_tpu.train.loop import make_train_step
@@ -43,8 +43,9 @@ def run_variant(name, batch_size, **over):
     mesh = make_mesh()
     model = build_model(args, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.standard_normal((batch_size, H, W, 3), dtype=np.float32))
-    depth = jnp.asarray(rng.random((batch_size, H, W, 1), dtype=np.float32) * 9.9 + 0.05)
+    h, w = shape or (H, W)
+    img = jnp.asarray(rng.standard_normal((batch_size, h, w, 3), dtype=np.float32))
+    depth = jnp.asarray(rng.random((batch_size, h, w, 1), dtype=np.float32) * 9.9 + 0.05)
     state = batch = train_step = metrics = None
     try:
         state = create_train_state(model, args, jax.random.PRNGKey(0), (img,),
@@ -99,6 +100,10 @@ VARIANTS = {
     "fused_head_bs32": (32, dict(use_fused_head=True)),
     "baseline_bs24": (24, {}),
     "remat_bs32": (32, dict(remat="encoder")),
+    # KITTI kb_crop operating point (352x704 crops, dataloader.py garg/kb
+    # rules; full-width eval is 352x1216)
+    "kitti_bs16": (16, dict(shape=(352, 704), max_depth=80.0)),
+    "kitti_eval_shape": (4, dict(shape=(352, 1216), max_depth=80.0)),
 }
 
 
