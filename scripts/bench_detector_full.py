@@ -71,7 +71,9 @@ def main():
         def body(carry, _):
             d = model.apply(variables, carry, img_hw,
                             method=CascadeMaskRCNN.infer)
-            carry = carry + (0.0 * jnp.sum(d["scores"])).astype(carry.dtype)
+            # 1e-30 (not 0x) so XLA's algebraic simplifier cannot fold the
+            # dependence away and hoist the loop-invariant body out of scan
+            carry = carry + (jnp.sum(d["scores"]) * 1e-30).astype(carry.dtype)
             return carry, d["scores"][0]
         _, top = jax.lax.scan(body, x0, None, length=n)
         return top

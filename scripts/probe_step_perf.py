@@ -39,6 +39,8 @@ def run_variant(name, batch_size, shape=None, **over):
     from mde_tpu.train.loop import make_train_step
     from mde_tpu.train.state import create_train_state
 
+    from mde_tpu.cues import InstanceEmbedder, SemanticsEmbedder
+
     args = make_args(**over)
     mesh = make_mesh()
     model = build_model(args, dtype=jnp.bfloat16)
@@ -46,14 +48,35 @@ def run_variant(name, batch_size, shape=None, **over):
     h, w = shape or (H, W)
     img = jnp.asarray(rng.standard_normal((batch_size, h, w, 3), dtype=np.float32))
     depth = jnp.asarray(rng.random((batch_size, h, w, 1), dtype=np.float32) * 9.9 + 0.05)
+    sem_emb = SemanticsEmbedder(args) if args.use_semantics else None
+    inst_emb = InstanceEmbedder(args) if args.use_instance_segmentation else None
     state = batch = train_step = metrics = None
     try:
-        state = create_train_state(model, args, jax.random.PRNGKey(0), (img,),
-                                   steps_per_epoch=2693)
-        state = jax.device_put(state, replicated_sharding(mesh))
         batch = {"image": jax.device_put(img, batch_sharding(mesh)),
                  "depth": jax.device_put(depth, batch_sharding(mesh))}
-        train_step = make_train_step(model, args, None, None, mesh)
+        model_inputs = [img]
+        if sem_emb is not None:
+            sem_raw = jnp.asarray(rng.integers(0, 150, (batch_size, h, w, 1)),
+                                  jnp.int32)
+            batch["semantics"] = jax.device_put(sem_raw, batch_sharding(mesh))
+            model_inputs.append(sem_emb(sem_raw)[1])
+        else:
+            model_inputs.append(None)
+        if inst_emb is not None:
+            lab_raw = jnp.asarray(rng.integers(0, 100, (batch_size, h, w, 1)),
+                                  jnp.int32)
+            area_raw = jnp.asarray(
+                rng.random((batch_size, h, w, 1), dtype=np.float32) * 5000.0)
+            batch["instance_labels"] = jax.device_put(lab_raw, batch_sharding(mesh))
+            batch["instance_areas"] = jax.device_put(area_raw, batch_sharding(mesh))
+            _, emb_lab, emb_areas = inst_emb(lab_raw, area_raw)
+            model_inputs += [emb_lab, emb_areas]
+        else:
+            model_inputs += [None, None]
+        state = create_train_state(model, args, jax.random.PRNGKey(0),
+                                   tuple(model_inputs), steps_per_epoch=2693)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        train_step = make_train_step(model, args, sem_emb, inst_emb, mesh)
 
         # All ITERS steps inside one lax.scan dispatch + scalar fetch:
         # per-step tunnel RTT excluded, async-lying block_until_ready
@@ -104,6 +127,15 @@ VARIANTS = {
     # rules; full-width eval is 352x1216)
     "kitti_bs16": (16, dict(shape=(352, 704), max_depth=80.0)),
     "kitti_eval_shape": (4, dict(shape=(352, 1216), max_depth=80.0)),
+    # paper's maximal cue config (params/args_train_nyu_efficientnet-b1_sem_
+    # glove-25d_inst_ade20k_swin_insertion_point_input.txt): glove-25d
+    # semantics + ade20k_swin instance labels/areas at the input
+    "cues_bs16": (16, dict(use_semantics="glove-25d",
+                           use_instance_segmentation="ade20k_swin",
+                           insertion_point="input")),
+    "cues_bs8": (8, dict(use_semantics="glove-25d",
+                         use_instance_segmentation="ade20k_swin",
+                         insertion_point="input")),
 }
 
 
