@@ -61,6 +61,33 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def train_state_sharding(state, mesh: Mesh):
+    """Sharding pytree for a TrainState: tensor parallelism over the 'model'
+    axis when the mesh has one, plain replication otherwise.
+
+    Rule: weight matrices / conv kernels (ndim >= 2) are sharded on their
+    output-channel (last) dim when it divides the model-axis size; 1-D leaves
+    (biases, BN scales/stats), scalars, and indivisible shapes replicate.
+    GSPMD then partitions the matching activations and inserts the ICI
+    collectives — no model changes needed. Optimizer moments share the param
+    tree structure, so the same shape rule lands them on matching shards.
+
+    The reference has no TP (SURVEY §2.2); this is the TPU-native extension
+    the mesh's second axis exists for.
+    """
+    n_model = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", None)
+        if (n_model > 1 and shape is not None and len(shape) >= 2
+                and shape[-1] % n_model == 0 and shape[-1] >= n_model):
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1) + ["model"])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, state)
+
+
 def shard_batch_size(global_bs: int, mesh: Mesh, use_new_batching: bool) -> int:
     """Both reference batching policies (train.py:286-293):
     legacy (default): `bs` is global, split across devices;

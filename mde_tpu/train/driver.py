@@ -19,7 +19,7 @@ from ..data import DepthDataLoader
 from ..data.prefetch import DevicePrefetcher
 from ..models import build_model
 from ..parallel import (batch_sharding, make_mesh, replicated_sharding,
-                        shard_batch_size)
+                        shard_batch_size, train_state_sharding)
 from ..parallel.mesh import maybe_init_distributed
 from ..train.loop import make_eval_step, make_train_step, make_run_id, validate
 from ..train.state import create_train_state
@@ -109,7 +109,9 @@ def main_train(args, max_steps=None, interactive=True):
             print(f"resumed from {ckpt_path} at epoch {start_epoch}")
 
     # replicate state over the mesh
-    state = jax.device_put(state, replicated_sharding(mesh))
+    # replicated on a ('data',) mesh; tensor-parallel over 'model' when the
+    # mesh has one (--mesh_shape "d,m")
+    state = jax.device_put(state, train_state_sharding(state, mesh))
 
     train_step = make_train_step(model, args, sem_embedder, inst_embedder, mesh)
     eval_step = make_eval_step(model, args, sem_embedder, inst_embedder)

@@ -168,3 +168,32 @@ def test_train_step_fn_scan_matches_sequential(tiny_setup):
 
     _, losses = run3(state2)
     np.testing.assert_allclose(np.asarray(losses), np.asarray(seq), rtol=2e-4)
+
+
+def test_tensor_parallel_matches_dp(tiny_setup):
+    """('data','model') mesh with output-channel-sharded weights
+    (parallel/mesh.py::train_state_sharding) must train identically to the
+    single-device step — GSPMD inserts the TP collectives, the math is the
+    same up to reduction order."""
+    from mde_tpu.parallel import train_state_sharding
+
+    args, model, state, img, depth = tiny_setup
+    mesh1 = make_mesh("1", devices=jax.devices()[:1])
+    base = _run_steps(args, model, state, img, depth, mesh1)
+
+    mesh42 = make_mesh("4,2", devices=jax.devices()[:8])
+    state2 = jax.tree_util.tree_map(jnp.array, state)
+    sh = train_state_sharding(state2, mesh42)
+    # the rule must actually shard something on the model axis
+    specs = [s.spec for s in jax.tree_util.tree_leaves(sh)]
+    assert any(spec and spec[-1] == "model" for spec in specs)
+    state2 = jax.device_put(state2, sh)
+    batch = {"image": jax.device_put(img, batch_sharding(mesh42)),
+             "depth": jax.device_put(depth, batch_sharding(mesh42))}
+    step = make_train_step(model, args, None, None, mesh42)
+    losses = []
+    for _ in range(2):
+        state2, metrics = step(state2, batch, jax.random.PRNGKey(100))
+        losses.append(float(metrics["loss"]))
+    np.testing.assert_allclose(losses, base, rtol=2e-4,
+                               err_msg="tensor-parallel step diverged from DP")
