@@ -54,10 +54,15 @@ def convert_hrnet_encoder(sd: dict):
         p[f"layer1_block{b}"], s[f"layer1_block{b}"] = _bottleneck(
             sd, f"layer1.{b}", has_downsample=(b == 0))
 
-    # transition1: both branches have conv+bn
-    for i in (0, 1):
-        p[f"transition1_{i}_conv"] = _conv(sd, f"transition1.{i}.0")
-        p[f"transition1_{i}_bn"], s[f"transition1_{i}_bn"] = _bn(sd, f"transition1.{i}.1")
+    # transition1 (hrnet.py:309-343): branch 0 reshapes channels in place
+    # (Sequential(conv, bn, relu) -> keys .0/.1); branch 1 is a NEW
+    # downsampling branch, i.e. a length-1 chain of Sequentials exactly like
+    # transition2/3's new branches -> keys .0.0/.0.1. Round 2 mapped branch 1
+    # flat (.0/.1) — caught by test_offline_converter_parity.
+    p["transition1_0_conv"] = _conv(sd, "transition1.0.0")
+    p["transition1_0_bn"], s["transition1_0_bn"] = _bn(sd, "transition1.0.1")
+    p["transition1_1_conv"] = _conv(sd, "transition1.1.0.0")
+    p["transition1_1_bn"], s["transition1_1_bn"] = _bn(sd, "transition1.1.0.1")
 
     # transition2/3: only the new branch (chain of length 1: index .0)
     for t, new_branch in ((2, 2), (3, 3)):
