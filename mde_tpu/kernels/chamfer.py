@@ -40,6 +40,10 @@ _BIG = 3.4e38
 
 _LANES = 128
 
+# Flipped by CPU tests / the multichip dryrun (monkeypatch) to run the Mosaic
+# kernel interpreted; train/loop.py doesn't plumb an interpret flag through.
+FORCE_INTERPRET = False
+
 
 def _chamfer_kernel(centers_ref, depth_ref, valid_ref,
                     minpb_ref, neard_ref, cntpb_ref, sumdpb_ref, ymin_ref):
@@ -203,6 +207,7 @@ def chamfer_1d_pallas(bin_edges: jnp.ndarray, target_depth_nhwc: jnp.ndarray,
                       interpret: bool = False) -> jnp.ndarray:
     """Drop-in for ops.losses.bins_chamfer_loss backed by the Pallas kernel.
     Differentiable w.r.t. bin_edges (gradients flow through the centers)."""
+    interpret = interpret or FORCE_INTERPRET
     centers = 0.5 * (bin_edges[:, 1:] + bin_edges[:, :-1])
     return chamfer_from_centers(centers, target_depth_nhwc, valid_threshold,
                                 tile, interpret)

@@ -102,6 +102,8 @@ class UnetAdaptiveBins(nn.Module):
     image: str = "rgb"
     remat: str = "none"            # "none" | "encoder" — activation ckpt policy
     fused_head: bool = False       # Pallas conv+softmax+centers head (TPU only)
+    mesh: Any = None               # device mesh; shard_maps the fused head
+    # over its 'data' axis (GSPMD can't partition a Mosaic custom call)
     dtype: Any = jnp.float32
 
     def _arch(self) -> str:
@@ -206,10 +208,12 @@ class UnetAdaptiveBins(nn.Module):
         centers = bin_centers(bin_edges)
 
         _, h, w, cin = range_attention_maps.shape
-        from ..kernels.bins_head import fused_bins_head, fused_head_supported
+        from ..kernels.bins_head import fused_head_supported
+        from ..kernels.sharded import fused_bins_head_sharded
         if self.fused_head and cin == 128 and fused_head_supported(h, w, self.n_bins):
             kernel, bias = _ConvOutParams(self.n_bins, cin, name="conv_out")()
-            pred = fused_bins_head(range_attention_maps, kernel, bias, centers)
+            pred = fused_bins_head_sharded(range_attention_maps, kernel, bias,
+                                           centers, mesh=self.mesh)
         else:
             out = nn.Conv(self.n_bins, (1, 1), name="conv_out", dtype=self.dtype)(range_attention_maps)
             out = nn.softmax(out.astype(jnp.float32), axis=-1)
@@ -217,11 +221,12 @@ class UnetAdaptiveBins(nn.Module):
         return bin_edges, pred
 
 
-def build_model(args, n_bins=None, dtype=jnp.float32) -> UnetAdaptiveBins:
+def build_model(args, n_bins=None, dtype=jnp.float32, mesh=None) -> UnetAdaptiveBins:
     """Construct the model from a parsed args namespace (the reference's
     UnetAdaptiveBins.build surface, unet_adaptive_bins.py:315-360, minus
     torch.hub fetching — pretrained weights come from the checkpoint
-    converter instead)."""
+    converter instead). Pass the device mesh when training sharded with
+    --use_fused_head so the Pallas head runs per-shard (kernels/sharded.py)."""
     return UnetAdaptiveBins(
         n_bins=n_bins if n_bins is not None else args.n_bins,
         min_val=args.min_depth, max_val=args.max_depth,
@@ -233,5 +238,6 @@ def build_model(args, n_bins=None, dtype=jnp.float32) -> UnetAdaptiveBins:
         image=args.image,
         remat=getattr(args, "remat", "none") or "none",
         fused_head=bool(getattr(args, "use_fused_head", False)),
+        mesh=mesh,
         dtype=dtype,
     )

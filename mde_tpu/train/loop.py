@@ -61,9 +61,13 @@ def make_train_step(model, args, sem_embedder, inst_embedder, mesh):
     # the kernel stays opt-in via --use_pallas_chamfer for standalone use.
     use_pallas = bool(getattr(args, "use_pallas_chamfer", False) or False)
     if use_pallas and np.asarray(mesh.devices).flat[0].platform in ("cpu", "gpu"):
-        use_pallas = False  # Mosaic kernels are TPU-only
+        from ..kernels import chamfer as _chamfer_mod
+        # Mosaic is TPU-only; CPU runs only when tests/dryruns force the
+        # interpreter (kernels/chamfer.py FORCE_INTERPRET)
+        use_pallas = _chamfer_mod.FORCE_INTERPRET
     if use_pallas:
-        from ..kernels.chamfer import chamfer_1d_pallas as chamfer_fn
+        from ..kernels.sharded import chamfer_1d_pallas_sharded
+        chamfer_fn = functools.partial(chamfer_1d_pallas_sharded, mesh=mesh)
     else:
         chamfer_fn = bins_chamfer_loss
 

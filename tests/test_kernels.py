@@ -127,6 +127,71 @@ def test_fused_head_gradients_match_jnp():
                                    rtol=1e-4, atol=1e-6)
 
 
+# ---------------------------------------------------------------------------
+# Kernels composed with the mesh via shard_map (kernels/sharded.py): each
+# device runs the Mosaic program on its local batch shard; the chamfer scalar
+# is finished by a pmean over 'data'. Runs on the conftest 8-device CPU mesh
+# in interpret mode — VERDICT r2 next #5.
+
+def _mesh8():
+    from mde_tpu.parallel import make_mesh
+    return make_mesh("8")
+
+
+def test_chamfer_sharded_matches_unsharded(monkeypatch):
+    import mde_tpu.kernels.chamfer as chamfer_mod
+    from mde_tpu.kernels.sharded import chamfer_1d_pallas_sharded
+    monkeypatch.setattr(chamfer_mod, "FORCE_INTERPRET", True)
+    mesh = _mesh8()
+    edges, depth = _setup(seed=11, n=8)
+
+    ref = float(chamfer_1d_pallas(edges, depth, interpret=True))
+    got = float(jax.jit(
+        lambda e, d: chamfer_1d_pallas_sharded(e, d, mesh=mesh))(edges, depth))
+    assert abs(got - ref) < 1e-5 * max(1.0, abs(ref))
+
+    ref_g = jax.grad(lambda e: chamfer_1d_pallas(e, depth, interpret=True))(edges)
+    got_g = jax.grad(
+        lambda e: chamfer_1d_pallas_sharded(e, depth, mesh=mesh))(edges)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_chamfer_sharded_indivisible_batch_falls_back(monkeypatch):
+    import mde_tpu.kernels.chamfer as chamfer_mod
+    from mde_tpu.kernels.sharded import chamfer_1d_pallas_sharded
+    monkeypatch.setattr(chamfer_mod, "FORCE_INTERPRET", True)
+    mesh = _mesh8()
+    edges, depth = _setup(seed=12, n=3)  # 3 % 8 != 0 -> unwrapped path
+    ref = float(chamfer_1d_pallas(edges, depth, interpret=True))
+    got = float(chamfer_1d_pallas_sharded(edges, depth, mesh=mesh))
+    assert abs(got - ref) < 1e-5 * max(1.0, abs(ref))
+
+
+def test_fused_head_sharded_matches_unsharded(monkeypatch):
+    import mde_tpu.kernels.bins_head as bins_head_mod
+    from mde_tpu.kernels.bins_head import fused_bins_head
+    from mde_tpu.kernels.sharded import fused_bins_head_sharded
+    monkeypatch.setattr(bins_head_mod, "FORCE_INTERPRET", True)
+    mesh = _mesh8()
+    feats, kernel, bias, centers = _head_setup(seed=13, b=8)
+
+    ref = fused_bins_head(feats, kernel, bias, centers, interpret=True)
+    got = jax.jit(lambda f, k, b, c: fused_bins_head_sharded(
+        f, k, b, c, mesh=mesh))(feats, kernel, bias, centers)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    tgt = jnp.asarray(np.random.default_rng(14).random(
+        (feats.shape[0], feats.shape[1], feats.shape[2], 1)), jnp.float32)
+    ref_g = jax.grad(lambda f: jnp.mean(
+        (fused_bins_head(f, kernel, bias, centers, interpret=True) - tgt) ** 2))(feats)
+    got_g = jax.grad(lambda f: jnp.mean(
+        (fused_bins_head_sharded(f, kernel, bias, centers, mesh=mesh) - tgt) ** 2))(feats)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_fused_head_model_path_matches_unfused(monkeypatch):
     """UnetAdaptiveBins(fused_head=True) is value-identical to the default
     path and produces the identical parameter tree (checkpoint compat)."""
