@@ -61,31 +61,75 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def train_state_sharding(state, mesh: Mesh):
+# Targeted tensor-parallel layer set (VERDICT r2 next #6). Blanket last-dim
+# sharding of every conv kernel forces an all-gather of full-resolution
+# activations after every 3x3 conv — all-gather-bound at any useful scale.
+# The targeted set shards only layers whose activations live at coarse
+# resolution (/32) or on the ~221-token mViT stream, Megatron-style:
+# column-parallel (output dim sharded) into row-parallel (input dim sharded)
+# pairs, so GSPMD closes each pair with one psum instead of per-layer
+# all-gathers.
+_TP_COLUMN = ("conv_head",           # encoder 1x1 head, 1280/2048 out @ /32
+              "linear1",             # mViT FFN up-projection
+              "in_proj",             # mViT attention qkv
+              "conv_out")            # 1x1 bins head: logits stay sharded on
+# the bins dim through softmax (two scalar-per-pixel all-reduces) and the
+# centers contraction closes with one psum of (B,H,W,1) — never a gather of
+# the (B,H,W,n_bins) logits. With --use_fused_head the shard_map wrapper
+# instead gathers the (1,1,128,N) kernel + (B,N) centers, both tiny.
+_TP_ROW = ("linear2",                # mViT FFN down-projection
+           "out_proj")               # mViT attention output
+
+
+def _path_keys(path):
+    return [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+
+
+def train_state_sharding(state, mesh: Mesh, tp_mode: str = "targeted"):
     """Sharding pytree for a TrainState: tensor parallelism over the 'model'
     axis when the mesh has one, plain replication otherwise.
 
-    Rule: weight matrices / conv kernels (ndim >= 2) are sharded on their
-    output-channel (last) dim when it divides the model-axis size; 1-D leaves
-    (biases, BN scales/stats), scalars, and indivisible shapes replicate.
-    GSPMD then partitions the matching activations and inserts the ICI
+    tp_mode:
+      "targeted" (default) — Megatron-style column/row sharding of the layer
+        set above; everything else (all 3x3 convs, BN, biases) replicates.
+      "all" — round-2's blanket rule (every ndim>=2 kernel sharded on its
+        output dim); kept for A/B comparison, measured all-gather-bound
+        (scripts/analyze_tp_hlo.py, SCALING.md).
+
+    GSPMD partitions the matching activations and inserts the ICI
     collectives — no model changes needed. Optimizer moments share the param
-    tree structure, so the same shape rule lands them on matching shards.
+    tree structure, so the same path rule lands them on matching shards.
 
     The reference has no TP (SURVEY §2.2); this is the TPU-native extension
     the mesh's second axis exists for.
     """
     n_model = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+    rep = NamedSharding(mesh, P())
 
-    def spec(leaf):
+    def shard_dim(shape, dim):
+        spec = [None] * len(shape)
+        spec[dim] = "model"
+        return NamedSharding(mesh, P(*spec))
+
+    def spec(path, leaf):
         shape = getattr(leaf, "shape", None)
-        if (n_model > 1 and shape is not None and len(shape) >= 2
-                and shape[-1] % n_model == 0 and shape[-1] >= n_model):
-            return NamedSharding(
-                mesh, P(*([None] * (len(shape) - 1) + ["model"])))
-        return NamedSharding(mesh, P())
+        if n_model <= 1 or shape is None or len(shape) < 2:
+            return rep
+        if tp_mode == "all":
+            if shape[-1] % n_model == 0 and shape[-1] >= n_model:
+                return shard_dim(shape, len(shape) - 1)
+            return rep
+        keys = _path_keys(path)
+        if any(k in _TP_COLUMN for k in keys) and shape[-1] % n_model == 0:
+            return shard_dim(shape, len(shape) - 1)
+        if any(k in _TP_ROW for k in keys):
+            # input dim: 0 for dense (in, out), 2 for conv HWIO
+            in_dim = 0 if len(shape) == 2 else len(shape) - 2
+            if shape[in_dim] % n_model == 0:
+                return shard_dim(shape, in_dim)
+        return rep
 
-    return jax.tree_util.tree_map(spec, state)
+    return jax.tree_util.tree_map_with_path(spec, state)
 
 
 def shard_batch_size(global_bs: int, mesh: Mesh, use_new_batching: bool) -> int:
