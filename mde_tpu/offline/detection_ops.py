@@ -134,9 +134,19 @@ def roi_align(feat_nhwc, rois, output_size: int, spatial_scale: float,
     """mmcv/torchvision RoIAlign (aligned=True) on one NHWC feature map.
 
     rois: (R, 4) in image coordinates (x1, y1, x2, y2). Returns
-    (R, output_size, output_size, C). sampling_ratio=0 -> adaptive
-    ceil(roi_size / out_size) sample points per bin. Implemented as a gather
-    of bilinear taps — XLA vectorizes the (R, P, P, S, S) sampling lattice.
+    (R, output_size, output_size, C). Implemented as a gather of bilinear
+    taps — XLA vectorizes the (R, P, P, S, S) sampling lattice.
+
+    sampling_ratio semantics: >0 uses that many taps per bin axis (exact
+    mmcv). 0 is mmcv's *adaptive* mode, ceil(bin_size) taps per bin — a
+    data-dependent shape XLA cannot compile, so we approximate it with a
+    STATIC 2-tap lattice. 2 matches ceil(bin_size) exactly for bins up to
+    2px (rois up to 2*output_size px on this feature level, which covers
+    mmdet's FPN-level-assigned rois); larger bins are undersampled relative
+    to mmcv, averaging 4 instead of ceil(bin)^2 taps per bin. Callers
+    cropping large rois against fine maps (e.g. mask targets from full-res
+    GT bitmaps) should pass an explicit sampling_ratio sized to their roi
+    distribution instead of relying on 0.
     """
     n, h, w, c = feat_nhwc.shape
     assert n == 1, "roi_align expects a single image feature map"
@@ -153,7 +163,7 @@ def roi_align(feat_nhwc, rois, output_size: int, spatial_scale: float,
     bin_w = roi_w / p
     bin_h = roi_h / p
 
-    s = sampling_ratio if sampling_ratio > 0 else 2  # mmdet rois are small; 2 matches ceil for typical bins
+    s = sampling_ratio if sampling_ratio > 0 else 2  # static stand-in for mmcv's adaptive ceil(bin) — see docstring
     # sample grid: (R, P, S) positions per axis, position = origin + (bin + frac) * bin_size
     bins = jnp.arange(p, dtype=jnp.float32)
     frac = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s

@@ -231,13 +231,20 @@ def rcnn_stage_loss(cls_logits, decoded_boxes, targets, num_classes: int,
     return cls_loss, reg_loss
 
 
-def mask_targets(gt_masks_full, targets, mask_size: int = 28):
+def mask_targets(gt_masks_full, targets, mask_size: int = 28,
+                 sampling_ratio: int = 4):
     """Crop each roi's matched GT mask to 28x28 mask-head targets.
 
     mmdet builds these with bilinear roi_align on the GT bitmap followed by
     a >=0.5 binarize (BitmapMasks.crop_and_resize via mask_target_single),
     NOT nearest sampling — bilinear+threshold shifts boundary pixels by up to
     half a cell vs nearest, which matters for mask-head training fidelity.
+
+    mmcv's sampling_ratio=0 here means ceil(roi/28) adaptive taps per bin —
+    data-dependent, so not XLA-compilable. We use a static 4-tap lattice,
+    which equals the adaptive count for rois up to 112px and undersamples
+    (boundary cells may flip after the 0.5 binarize) beyond that; raise
+    sampling_ratio if training images put most instances above ~112px.
 
     gt_masks_full: (G, H, W) float; returns (num, 28, 28) {0,1} targets
     aligned with the sampled rois."""
@@ -247,7 +254,8 @@ def mask_targets(gt_masks_full, targets, mask_size: int = 28):
     masks = jnp.take(gt_masks_full.astype(jnp.float32), targets["gt_idx"], axis=0)
 
     def one(mask, roi):
-        out = roi_align(mask[None, :, :, None], roi[None], mask_size, 1.0)
+        out = roi_align(mask[None, :, :, None], roi[None], mask_size, 1.0,
+                        sampling_ratio=sampling_ratio)
         return out[0, :, :, 0]
 
     vals = jax.vmap(one)(masks, rois)

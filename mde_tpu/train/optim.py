@@ -82,10 +82,6 @@ def _encoder_scale_mask(params, factor: float) -> dict:
     return jax.tree_util.tree_map_with_path(lambda p, _: scale_for(p), params)
 
 
-class _ScaleByMask:
-    pass
-
-
 def scale_by_pytree(scales):
     """optax transform multiplying updates by a static per-param scale tree."""
 

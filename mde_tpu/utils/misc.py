@@ -53,21 +53,21 @@ def setup_exp_dir(root, exp_name, interactive=True):
     if os.path.isdir(exp_path):
         if not interactive:
             return exp_path
-        print("Experiment directory already exists at: " + exp_path)
+        print("Experiment directory exists: " + exp_path)
         answer = None
         while answer not in ("delete", "n"):
-            answer = input('Do you want to delete and remake this directory ["delete"/"n"]? : ')
+            answer = input('Wipe and recreate it? ["delete"/"n"]: ')
             if answer == "delete":
                 shutil.rmtree(exp_path)
                 os.mkdir(exp_path)
-                print("Overwrote directory at " + exp_path)
+                print("Recreated " + exp_path)
             elif answer == "n":
                 ans2 = None
                 while ans2 not in ("exit", "keep writing"):
-                    ans2 = input('OK, do you want to exit ("exit") or blindly keep writing '
-                                 'to the directory ("keep writing")? : ')
+                    ans2 = input('Abort ("exit") or append to the existing '
+                                 'directory ("keep writing")? : ')
                     if ans2 == "exit":
-                        sys.exit("OK, exiting.")
+                        sys.exit("Exiting without touching " + exp_path)
                     elif ans2 == "keep writing":
                         return exp_path
     else:
