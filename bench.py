@@ -37,6 +37,32 @@ H, W = 416, 544
 N_BINS = 256
 ITERS = 10
 
+# Tunnel health gate (VERDICT r2 weak #1): a degraded compile/RPC tunnel has
+# produced numbers 30x below the same code on a healthy session (BENCH_r02 62
+# img/s vs BENCH_r01 2006 img/s). Stamp a chained-matmul measurement into the
+# JSON so a bench value can never masquerade as a code regression (or a pass):
+# v5e-1 peak is ~197 bf16 TFLOP/s; healthy sessions sustain >50, degraded
+# (per-op RTT) sessions read <5.
+HEALTHY_TFLOPS = 50.0
+
+
+def measure_tunnel_tflops():
+    import functools
+
+    x = jnp.ones((4096, 4096), jnp.bfloat16)
+
+    @jax.jit
+    def chain(a):
+        def body(c, _):
+            return (c @ x) * 0 + x + 1e-30 * c, ()
+        return jax.lax.scan(body, a, None, length=50)[0]
+
+    _ = np.asarray(chain(x)[0, 0])  # warm + force a real fetch
+    t0 = time.perf_counter()
+    _ = np.asarray(chain(x)[0, 0])
+    dt = time.perf_counter() - t0
+    return round(50 * 2 * 4096**3 / dt / 1e12, 1)
+
 
 def main():
     from mde_tpu.models import build_model
@@ -59,9 +85,11 @@ def main():
 
     mesh = make_mesh()
     n_chips = mesh.devices.size
-    if np.asarray(mesh.devices).flat[0].platform in ("cpu", "gpu"):
+    on_tpu = np.asarray(mesh.devices).flat[0].platform not in ("cpu", "gpu")
+    if not on_tpu:
         args.use_fused_head = args.use_pallas_chamfer = False  # Mosaic is TPU-only
-    model = build_model(args, dtype=jnp.bfloat16)
+    tunnel_tflops = measure_tunnel_tflops() if on_tpu else None
+    model = build_model(args, dtype=jnp.bfloat16, mesh=mesh)
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.standard_normal((BATCH, H, W, 3), dtype=np.float32))
@@ -100,12 +128,16 @@ def main():
 
     images_per_sec = BATCH * ITERS / dt
     per_chip = images_per_sec / n_chips
-    print(json.dumps({
+    out = {
         "metric": "NYUD2 train images/sec/chip (B1 AdaBins 256 bins, 416x544, bf16)",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / REF_IMAGES_PER_SEC_PER_CHIP, 2),
-    }))
+    }
+    if tunnel_tflops is not None:
+        out["tunnel_tflops"] = tunnel_tflops
+        out["tunnel_healthy"] = tunnel_tflops >= HEALTHY_TFLOPS
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
