@@ -137,7 +137,9 @@ def main():
     # --- full step (real state flow, the probe_step_perf methodology) ------
     import functools
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    # no donation: the later segments reuse state.params/batch_stats, which
+    # donation would invalidate (HBM fits the extra state copy at bs16)
+    @jax.jit
     def run_steps(st, b, key):
         def body(s, i):
             s2, m = train_step.fn(s, b, jax.random.fold_in(key, i))
@@ -148,22 +150,23 @@ def main():
         s2, m = train_step.fn(st, b, key)
         return s2, m
 
-    step_flops = flops_of(step_once, state, batch, jax.random.PRNGKey(1))
-    t0 = time.perf_counter()
-    state2, losses = run_steps(state, batch, jax.random.PRNGKey(1))
-    _ = float(losses[-1])
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    state2, losses = run_steps(state2, batch, jax.random.PRNGKey(2))
-    _ = float(losses[-1])
-    dt = time.perf_counter() - t0
-    out = {"segment": "step", "ms": round(1e3 * dt / ITERS, 2),
-           "compile_s": round(compile_s, 1)}
-    if step_flops == step_flops:
-        out["gflops"] = round(step_flops / 1e9, 1)
-        out["achieved_tflops"] = round(step_flops / (dt / ITERS) / 1e12, 2)
-    print(json.dumps(out), flush=True)
-    del state2
+    if not os.environ.get("SKIP_STEP"):
+        step_flops = flops_of(step_once, state, batch, jax.random.PRNGKey(1))
+        t0 = time.perf_counter()
+        state2, losses = run_steps(state, batch, jax.random.PRNGKey(1))
+        _ = float(losses[-1])
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state2, losses = run_steps(state2, batch, jax.random.PRNGKey(2))
+        _ = float(losses[-1])
+        dt = time.perf_counter() - t0
+        out = {"segment": "step", "ms": round(1e3 * dt / ITERS, 2),
+               "compile_s": round(compile_s, 1)}
+        if step_flops == step_flops:
+            out["gflops"] = round(step_flops / 1e9, 1)
+            out["achieved_tflops"] = round(step_flops / (dt / ITERS) / 1e12, 2)
+        print(json.dumps(out), flush=True)
+        del state2
 
     params, stats = state.params, state.batch_stats
 
