@@ -221,6 +221,26 @@ class UnetAdaptiveBins(nn.Module):
         return bin_edges, pred
 
 
+def _fused_head_available(args, mesh):
+    """--use_fused_head, gated on the backend: Mosaic kernels are TPU-only, so
+    on cpu/gpu the fused head only runs when a test forces the interpreter
+    (kernels/bins_head.py FORCE_INTERPRET). Centralized here so every
+    build_model caller (train driver, evaluate, probes, tests) gets the same
+    behavior now that the flag defaults on."""
+    if not bool(getattr(args, "use_fused_head", False)):
+        return False
+    if mesh is not None:
+        import numpy as np
+        platform = np.asarray(mesh.devices).flat[0].platform
+    else:
+        import jax
+        platform = jax.devices()[0].platform
+    if platform in ("cpu", "gpu"):
+        from ..kernels import bins_head as _bins_head_mod
+        return _bins_head_mod.FORCE_INTERPRET
+    return True
+
+
 def build_model(args, n_bins=None, dtype=jnp.float32, mesh=None) -> UnetAdaptiveBins:
     """Construct the model from a parsed args namespace (the reference's
     UnetAdaptiveBins.build surface, unet_adaptive_bins.py:315-360, minus
@@ -237,7 +257,7 @@ def build_model(args, n_bins=None, dtype=jnp.float32, mesh=None) -> UnetAdaptive
         insertion_point=args.insertion_point,
         image=args.image,
         remat=getattr(args, "remat", "none") or "none",
-        fused_head=bool(getattr(args, "use_fused_head", False)),
+        fused_head=_fused_head_available(args, mesh),
         mesh=mesh,
         dtype=dtype,
     )

@@ -75,12 +75,7 @@ def main_train(args, max_steps=None, interactive=True):
 
     compute_dtype = jnp.bfloat16 if getattr(args, "compute_dtype", "bfloat16") == "bfloat16" \
         else jnp.float32
-    if np.asarray(mesh.devices).flat[0].platform in ("cpu", "gpu"):
-        from ..kernels import bins_head as _bins_head_mod
-        # Mosaic is TPU-only; CPU runs only when tests/dryruns force the
-        # interpreter
-        args.use_fused_head = (bool(getattr(args, "use_fused_head", False))
-                               and _bins_head_mod.FORCE_INTERPRET)
+    # build_model gates --use_fused_head on the backend (Mosaic is TPU-only).
     model = build_model(args, dtype=compute_dtype, mesh=mesh)
 
     sem_embedder = SemanticsEmbedder(args) if args.use_semantics else None

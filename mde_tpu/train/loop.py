@@ -55,10 +55,10 @@ def make_train_step(model, args, sem_embedder, inst_embedder, mesh):
     min_depth = float(args.min_depth)
 
     # Chamfer implementation choice. The Pallas kernel (kernels/chamfer.py)
-    # wins standalone (6.9x), but inside the fused train step XLA overlaps
-    # the jnp scan with surrounding compute better (measured bs16 416x544:
-    # 8.2ms/step jnp vs 9.1ms pallas on v5e), so the scan is the default and
-    # the kernel stays opt-in via --use_pallas_chamfer for standalone use.
+    # wins both standalone (6.9x) and in-step: the healthy-session A/B
+    # (probe_step_perf.py 2026-08-17) measured 369.5 -> 253.8 ms/step at bs16
+    # 416x544 just from swapping the jnp chunked scan for the kernel, so it
+    # defaults on (--no-use_pallas_chamfer opts out; ignored on cpu/gpu).
     use_pallas = bool(getattr(args, "use_pallas_chamfer", False) or False)
     if use_pallas and np.asarray(mesh.devices).flat[0].platform in ("cpu", "gpu"):
         from ..kernels import chamfer as _chamfer_mod

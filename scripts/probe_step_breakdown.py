@@ -13,13 +13,19 @@ Segments:
   grads      value_and_grad(loss_fn) with all grads consumed (no optimizer)
   loss_fwd   loss_fn value only (fwd + SILog + chamfer)
   fwd        model.apply train=True (no losses)
+  fwd_g      model fwd + bwd, no losses (isolates model bwd from loss bwd)
+  opt        clip + AdamW + schedule on fixed grads (the optimizer residual)
   encoder    EfficientNetEncoder alone
+  encoder_g  encoder fwd + bwd (localizes depthwise-conv backward cost)
   silog      silog_loss on a fixed model-shaped pred
   chamfer    bins_chamfer_loss (jnp scan) on fixed edges
   chamfer_g  chamfer + its gradient w.r.t. edges
 
 Derivable: bwd = grads - loss_fwd, optimizer = step - grads,
 losses = loss_fwd - fwd, decoder+mViT+head = fwd - encoder.
+
+Env knobs: SEGMENTS=a,b,c to select; PALLAS=1 flips use_pallas_chamfer +
+use_fused_head on (the shipped default config); PROBE_ITERS; SKIP_STEP.
 
 Also prints XLA cost_analysis FLOPs for step/fwd/encoder → achieved TFLOP/s
 per segment, next to a chained-matmul tunnel-health stamp.
@@ -51,6 +57,8 @@ def make_args(**over):
         image="rgb", w_chamfer=0.1, chamfer=True, epochs=25, lr=0.000357,
         wd=0.1, div_factor=25.0, final_div_factor=100.0, same_lr=False,
         seed=0, remat="none", use_fused_head=False, use_pallas_chamfer=False)
+    if os.environ.get("PALLAS"):
+        base.update(use_fused_head=True, use_pallas_chamfer=True)
     base.update(over)
     return types.SimpleNamespace(**base)
 
@@ -83,9 +91,14 @@ def flops_of(fn, *args):
         return float("nan")
 
 
+_SEGMENTS = [s for s in os.environ.get("SEGMENTS", "").split(",") if s]
+
+
 def timed_scan(name, fn, *arrays, flops=float("nan")):
     """fn(carry_scalar, *arrays) -> scalar; ITERS chained calls per dispatch.
     The carry must feed fn's *inputs* so the body can't be hoisted."""
+    if _SEGMENTS and name not in _SEGMENTS:
+        return None
 
     @jax.jit
     def run(c0, *a):
@@ -93,6 +106,16 @@ def timed_scan(name, fn, *arrays, flops=float("nan")):
             return fn(c, *a), ()
         return jax.lax.scan(body, c0, None, length=ITERS)[0]
 
+    try:
+        return _run_timed(name, run, arrays, flops)
+    except Exception as e:  # noqa: BLE001 — keep later segments alive
+        print(json.dumps({"segment": name,
+                          "error": f"{type(e).__name__}: {str(e)[:200]}"}),
+              flush=True)
+        return None
+
+
+def _run_timed(name, run, arrays, flops):
     t0 = time.perf_counter()
     v = float(run(jnp.float32(0.0), *arrays))
     compile_s = time.perf_counter() - t0
@@ -221,6 +244,32 @@ def main():
 
     timed_scan("fwd", seg_fwd, batch["image"], flops=fwd_flops)
 
+    # --- model fwd+bwd WITHOUT losses: isolates the model backward from the
+    # chamfer/silog backward (grads - fwd_g = loss fwd+bwd share)
+    def seg_fwd_g(c, image):
+        loss, grads = jax.value_and_grad(fwd)(
+            params, stats, image + c * 1e-30, key)
+        gsum = sum(jnp.sum(jnp.asarray(g, jnp.float32))
+                   for g in jax.tree_util.tree_leaves(grads))
+        return loss * 1e-30 + 1e-30 * gsum
+
+    timed_scan("fwd_g", seg_fwd_g, batch["image"])
+
+    # --- optimizer alone: clip + inject_hyperparams(AdamW) on fixed grads.
+    # Perturb grads by the carry so the update can't be hoisted; consume the
+    # new params as a scalar.
+    grads_fix = jax.tree_util.tree_map(
+        lambda p: jnp.full(p.shape, 1e-4, p.dtype), params)
+
+    def seg_opt(c, image):
+        g = jax.tree_util.tree_map(lambda x: x + c * 1e-30, grads_fix)
+        updates, _ = state.tx.update(g, state.opt_state, params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return sum(jnp.sum(jnp.asarray(x, jnp.float32)) * 1e-30
+                   for x in jax.tree_util.tree_leaves(new_params))
+
+    timed_scan("opt", seg_opt, batch["image"])
+
     # --- encoder alone ----------------------------------------------------
     enc = EfficientNetEncoder("efficientnet-b1", dtype=jnp.bfloat16,
                               name="encoder")
@@ -229,7 +278,8 @@ def main():
 
     def enc_fwd(v, image):
         feats, _ = enc.apply(v, image.astype(jnp.bfloat16), train=True,
-                             mutable=["batch_stats"])
+                             mutable=["batch_stats"],
+                             rngs={"drop_path": jax.random.PRNGKey(7)})
         return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
 
     enc_flops = flops_of(enc_fwd, enc_vars, batch["image"])
@@ -238,6 +288,14 @@ def main():
         return enc_fwd(enc_vars, image + c * 1e-30)
 
     timed_scan("encoder", seg_enc, batch["image"], flops=enc_flops)
+
+    def seg_enc_g(c, image):
+        loss, grads = jax.value_and_grad(enc_fwd)(enc_vars, image + c * 1e-30)
+        gsum = sum(jnp.sum(jnp.asarray(g, jnp.float32))
+                   for g in jax.tree_util.tree_leaves(grads))
+        return loss * 1e-30 + 1e-30 * gsum
+
+    timed_scan("encoder_g", seg_enc_g, batch["image"])
 
     # --- losses on fixed tensors ------------------------------------------
     pred_shape = (BS, H // 2, W // 2, 1)
