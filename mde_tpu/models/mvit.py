@@ -75,6 +75,39 @@ class TransformerEncoderLayer(nn.Module):
         return x
 
 
+class PatchEmbed(nn.Module):
+    """Non-overlapping PxP stride-P conv patch embedding, computed as
+    extract-patches + one MXU matmul instead of lax.conv.
+
+    Mathematically identical to nn.Conv(E, (P, P), strides=P, padding='VALID')
+    and keeps the exact conv param layout (kernel (P, P, C, E), bias (E,)) so
+    checkpoint converters and parity tests are unchanged. The point is the
+    *backward*: XLA lowers the input-gradient of a stride-P conv as a dense
+    PxP convolution over the interior-dilated cotangent — ~P^2 x the forward
+    FLOPs of almost-all-zero math (measured 152 ms of the 253 ms flagship
+    train step at P=16, scripts/probe_decoder_bisect.py 2026-08-17). As a
+    matmul, the backward is two matmuls of the forward's size."""
+    features: int
+    patch_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch_size
+        n, h, w, c = x.shape
+        hp, wp = h // p, w // p
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (p, p, c, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        x = x[:, :hp * p, :wp * p, :]                  # VALID: drop remainder
+        patches = x.reshape(n, hp, p, wp, p, c).transpose(0, 1, 3, 2, 4, 5)
+        patches = patches.reshape(n, hp * wp, p * p * c)
+        w_mat = kernel.astype(self.dtype).reshape(p * p * c, self.features)
+        y = patches @ w_mat + bias.astype(self.dtype)
+        return y                                       # (N, Hp*Wp, E)
+
+
 class PatchTransformerEncoder(nn.Module):
     """16x16 conv patch embed + positional table + 4 transformer layers
     (reference layers.py:5-24). Returns (N, S, E)."""
@@ -87,11 +120,8 @@ class PatchTransformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = nn.Conv(self.embedding_dim, (self.patch_size, self.patch_size),
-                    strides=self.patch_size, padding="VALID",
-                    name="embedding_convPxP", dtype=self.dtype)(x)
-        n, hp, wp, e = y.shape
-        y = y.reshape(n, hp * wp, e)                                      # (N, S, E)
+        y = PatchEmbed(self.embedding_dim, self.patch_size, self.dtype,
+                       name="embedding_convPxP")(x)                       # (N, S, E)
         pos = self.param("positional_encodings",
                          nn.initializers.uniform(scale=1.0),
                          (self.max_tokens, self.embedding_dim), jnp.float32)

@@ -159,3 +159,23 @@ def test_train_mode_with_dropout_and_bn(small_rgb):
         mutable=["batch_stats"])
     assert "batch_stats" in mutated
     assert np.all(np.isfinite(np.asarray(pred)))
+
+
+def test_patch_embed_matches_strided_conv():
+    """PatchEmbed (extract-patches + matmul, the stride-P-conv-backward fix)
+    must equal nn.Conv(E, (P,P), strides=P, padding='VALID') with the same
+    conv-layout params — including VALID truncation of non-multiple H/W."""
+    import flax.linen as nn
+    from mde_tpu.models.mvit import PatchEmbed
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 35, 50, 7), dtype=np.float32))
+    pe = PatchEmbed(11, 16, jnp.float32)
+    variables = pe.init(jax.random.PRNGKey(0), x)
+    y = pe.apply(variables, x)
+
+    conv = nn.Conv(11, (16, 16), strides=16, padding="VALID")
+    yc = conv.apply({"params": dict(variables["params"])}, x)
+    yc = yc.reshape(yc.shape[0], -1, yc.shape[-1])
+    assert y.shape == yc.shape == (2, 6, 11)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yc), atol=2e-5)
