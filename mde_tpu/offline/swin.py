@@ -194,8 +194,15 @@ class SwinTransformer(nn.Module):
         pad_r = (4 - w_in % 4) % 4
         if pad_b or pad_r:
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-        y = nn.Conv(self.embed_dim, (4, 4), strides=4, padding="VALID",
-                    name="patch_embed_proj", dtype=self.dtype)(x.astype(self.dtype))
+        # As in models/mvit.py::PatchEmbed: extract-patches + matmul instead
+        # of lax.conv, because XLA lowers a stride-P conv's input-gradient as
+        # a dense dilated conv (~P^2 x forward FLOPs) — 16x backward overhead
+        # here when training the detector. Same param layout as nn.Conv.
+        from ..models.mvit import PatchEmbed
+        y = PatchEmbed(self.embed_dim, 4, self.dtype,
+                       name="patch_embed_proj")(x.astype(self.dtype))
+        y = y.reshape(x.shape[0], x.shape[1] // 4, x.shape[2] // 4,
+                      self.embed_dim)
         y = nn.LayerNorm(dtype=jnp.float32, name="patch_embed_norm")(y).astype(self.dtype)
 
         outs = []

@@ -72,10 +72,17 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     ww = jnp.asarray(_linear_weights_align_corners(w, out_w), dtype=jnp.float32)
     xf = x.astype(jnp.float32)
     # (..., H, W, C): contract H with wh then W with ww via einsum → two
-    # matmuls. HIGHEST precision keeps f32 accumulation on the MXU so eval
-    # resizes match the reference bit-for-bit to fp32 rounding.
-    y = jnp.einsum('oh,...hwc->...owc', wh, xf, precision=jax.lax.Precision.HIGHEST)
-    y = jnp.einsum('pw,...owc->...opc', ww, y, precision=jax.lax.Precision.HIGHEST)
+    # matmuls. For f32 inputs (eval resizes, loss interpolation, parity
+    # paths) HIGHEST precision keeps full-f32 MXU arithmetic so results match
+    # the reference bit-for-bit to fp32 rounding. For bf16 inputs (the
+    # decoder's in-model upsamples under the bf16 training policy) the
+    # operands carry bf16 information anyway, so DEFAULT precision — one MXU
+    # pass instead of HIGHEST's six, f32 accumulation either way — is the
+    # right speed/accuracy point (~8 ms/step at the flagship shape).
+    prec = (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    y = jnp.einsum('oh,...hwc->...owc', wh, xf, precision=prec)
+    y = jnp.einsum('pw,...owc->...opc', ww, y, precision=prec)
     return y.astype(dtype)
 
 
@@ -107,8 +114,11 @@ def resize_bilinear_half_pixel(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     wh = jnp.asarray(_linear_weights_half_pixel(h, out_h))
     ww = jnp.asarray(_linear_weights_half_pixel(w, out_w))
     xf = x.astype(jnp.float32)
-    y = jnp.einsum('oh,...hwc->...owc', wh, xf, precision=jax.lax.Precision.HIGHEST)
-    y = jnp.einsum('pw,...owc->...opc', ww, y, precision=jax.lax.Precision.HIGHEST)
+    # same precision policy as resize_bilinear_align_corners above
+    prec = (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    y = jnp.einsum('oh,...hwc->...owc', wh, xf, precision=prec)
+    y = jnp.einsum('pw,...owc->...opc', ww, y, precision=prec)
     return y.astype(dtype)
 
 
