@@ -32,7 +32,13 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_IMAGES_PER_SEC_PER_CHIP = 12.0  # documented estimate, see module docstring
-BATCH = 16
+# bs32 is the measured best operating point (124.6 img/s/chip vs 115.7 at
+# bs16, probe_step_perf 2026-08-17) — it became compilable once the
+# patch-embed fix shrank the program below the remote-compile-service size
+# limit. The limit is external and has fluctuated, so a failed bs32
+# compile falls back to the always-safe bs16 point instead of failing the
+# bench (the JSON records which batch ran).
+BATCH_CANDIDATES = (32, 16)
 H, W = 416, 544
 N_BINS = 256
 ITERS = 10
@@ -64,36 +70,18 @@ def measure_tunnel_tflops():
     return round(50 * 2 * 4096**3 / dt / 1e12, 1)
 
 
-def main():
+def run(batch_size, args, mesh, tunnel_tflops, n_chips):
     from mde_tpu.models import build_model
-    from mde_tpu.parallel import make_mesh, batch_sharding, replicated_sharding
+    from mde_tpu.parallel import batch_sharding, replicated_sharding
     from mde_tpu.train.loop import make_train_step
     from mde_tpu.train.state import create_train_state
 
-    # Best-known perf config: both Pallas kernels on (chamfer + fused bins
-    # head). Measured 2026-08-17: 251 vs 370 ms/step over the XLA paths on a
-    # degraded tunnel (per-op overhead regime); on the healthy round-1 tunnel
-    # the fused head won standalone (6.6 vs 10.9 ms) and the chamfer kernel
-    # cost ~1 ms in-step — net positive or neutral in both regimes.
-    args = types.SimpleNamespace(
-        n_bins=N_BINS, min_depth=1e-3, max_depth=10.0, norm="linear",
-        encoder_name="efficientnet-b1", use_semantics=None,
-        use_instance_segmentation=None, insertion_point="before-attn",
-        image="rgb", w_chamfer=0.1, chamfer=True, epochs=25, lr=0.000357,
-        wd=0.1, div_factor=25.0, final_div_factor=100.0, same_lr=False,
-        seed=0, use_fused_head=True, use_pallas_chamfer=True)
-
-    mesh = make_mesh()
-    n_chips = mesh.devices.size
-    on_tpu = np.asarray(mesh.devices).flat[0].platform not in ("cpu", "gpu")
-    if not on_tpu:
-        args.use_fused_head = args.use_pallas_chamfer = False  # Mosaic is TPU-only
-    tunnel_tflops = measure_tunnel_tflops() if on_tpu else None
     model = build_model(args, dtype=jnp.bfloat16, mesh=mesh)
 
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.standard_normal((BATCH, H, W, 3), dtype=np.float32))
-    depth = jnp.asarray(rng.random((BATCH, H, W, 1), dtype=np.float32) * 9.9 + 0.05)
+    img = jnp.asarray(rng.standard_normal((batch_size, H, W, 3), dtype=np.float32))
+    depth = jnp.asarray(
+        rng.random((batch_size, H, W, 1), dtype=np.float32) * 9.9 + 0.05)
 
     state = create_train_state(model, args, jax.random.PRNGKey(0), (img,),
                                steps_per_epoch=2693)
@@ -126,18 +114,51 @@ def main():
     _ = float(losses[-1])
     dt = time.perf_counter() - t0
 
-    images_per_sec = BATCH * ITERS / dt
+    images_per_sec = batch_size * ITERS / dt
     per_chip = images_per_sec / n_chips
     out = {
         "metric": "NYUD2 train images/sec/chip (B1 AdaBins 256 bins, 416x544, bf16)",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / REF_IMAGES_PER_SEC_PER_CHIP, 2),
+        "batch": batch_size,
     }
     if tunnel_tflops is not None:
         out["tunnel_tflops"] = tunnel_tflops
         out["tunnel_healthy"] = tunnel_tflops >= HEALTHY_TFLOPS
     print(json.dumps(out))
+
+
+def main():
+    from mde_tpu.parallel import make_mesh
+
+    # Best-known perf config: both Pallas kernels on (chamfer + fused bins
+    # head) — healthy-session in-step A/B 2026-08-17: 369 (pure XLA) -> 251
+    # (kernels) -> 138 ms/step after the patch-embed/resize fixes at bs16.
+    args = types.SimpleNamespace(
+        n_bins=N_BINS, min_depth=1e-3, max_depth=10.0, norm="linear",
+        encoder_name="efficientnet-b1", use_semantics=None,
+        use_instance_segmentation=None, insertion_point="before-attn",
+        image="rgb", w_chamfer=0.1, chamfer=True, epochs=25, lr=0.000357,
+        wd=0.1, div_factor=25.0, final_div_factor=100.0, same_lr=False,
+        seed=0, use_fused_head=True, use_pallas_chamfer=True)
+
+    mesh = make_mesh()
+    n_chips = mesh.devices.size
+    on_tpu = np.asarray(mesh.devices).flat[0].platform not in ("cpu", "gpu")
+    if not on_tpu:
+        args.use_fused_head = args.use_pallas_chamfer = False  # Mosaic is TPU-only
+    tunnel_tflops = measure_tunnel_tflops() if on_tpu else None
+
+    last_err = None
+    for batch_size in BATCH_CANDIDATES:
+        try:
+            run(batch_size, args, mesh, tunnel_tflops, n_chips)
+            return
+        except Exception as e:  # noqa: BLE001 — compile-service size limit
+            last_err = e
+            jax.clear_caches()
+    raise last_err
 
 
 if __name__ == "__main__":

@@ -161,6 +161,20 @@ VARIANTS = {
     "cues_bs8": (8, dict(use_semantics="glove-25d",
                          use_instance_segmentation="ade20k_swin",
                          insertion_point="input")),
+    # round-3 shipped config (both kernels) at the blocked batch sizes —
+    # retried after the patch-embed fix shrank the program
+    "both_bs24": (24, dict(use_fused_head=True, use_pallas_chamfer=True)),
+    "both+remat_bs24": (24, dict(use_fused_head=True, use_pallas_chamfer=True,
+                                 remat="encoder")),
+    "both_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True)),
+    "both+remat_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
+                                 remat="encoder")),
+    # the reference's *default* encoder is efficientnet-b5
+    # (CommonArgParser.py default) — the published AdaBins flagship
+    "b5_bs8": (8, dict(encoder_name="efficientnet-b5", use_fused_head=True,
+                       use_pallas_chamfer=True)),
+    "b5_bs16": (16, dict(encoder_name="efficientnet-b5", use_fused_head=True,
+                         use_pallas_chamfer=True)),
 }
 
 
