@@ -140,10 +140,12 @@ def roi_align(feat_nhwc, rois, output_size: int, spatial_scale: float,
     sampling_ratio semantics: >0 uses that many taps per bin axis (exact
     mmcv). 0 is mmcv's *adaptive* mode, ceil(bin_size) taps per bin — a
     data-dependent shape XLA cannot compile, so we approximate it with a
-    STATIC 2-tap lattice. 2 matches ceil(bin_size) exactly for bins up to
-    2px (rois up to 2*output_size px on this feature level, which covers
-    mmdet's FPN-level-assigned rois); larger bins are undersampled relative
-    to mmcv, averaging 4 instead of ceil(bin)^2 taps per bin. Callers
+    STATIC 2-tap lattice. 2 matches ceil(bin_size) exactly for bins in
+    (1, 2]px (rois in (output_size, 2*output_size]px on this feature level,
+    which covers mmdet's FPN-level-assigned rois); sub-1px bins are
+    over-sampled (2 taps where mmcv uses 1 — a denser estimate of the same
+    bin average) and larger bins are undersampled relative to mmcv,
+    averaging 4 instead of ceil(bin)^2 taps per bin. Callers
     cropping large rois against fine maps (e.g. mask targets from full-res
     GT bitmaps) should pass an explicit sampling_ratio sized to their roi
     distribution instead of relying on 0.

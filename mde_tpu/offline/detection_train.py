@@ -241,10 +241,12 @@ def mask_targets(gt_masks_full, targets, mask_size: int = 28,
     half a cell vs nearest, which matters for mask-head training fidelity.
 
     mmcv's sampling_ratio=0 here means ceil(roi/28) adaptive taps per bin —
-    data-dependent, so not XLA-compilable. We use a static 4-tap lattice,
-    which equals the adaptive count for rois up to 112px and undersamples
-    (boundary cells may flip after the 0.5 binarize) beyond that; raise
-    sampling_ratio if training images put most instances above ~112px.
+    data-dependent, so not XLA-compilable. We use a static 4-tap lattice: it
+    matches mmcv's count exactly for rois in (84, 112]px, over-samples the
+    bin integral below that (a closer estimate of the true average, not
+    bit-identical to mmcv's coarser lattice), and under-samples above it
+    (boundary cells may flip after the 0.5 binarize); raise sampling_ratio
+    if training images put most instances above ~112px.
 
     gt_masks_full: (G, H, W) float; returns (num, 28, 28) {0,1} targets
     aligned with the sampled rois."""
