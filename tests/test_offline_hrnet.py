@@ -97,7 +97,9 @@ def test_converter_structure_matches_flax_tree(model_and_vars):
             enc.update(conv_keys("layer1.0.downsample.0", 64, 256, 1))
             enc.update(bn_keys("layer1.0.downsample.1", 256))
     enc.update(conv_keys("transition1.0.0", 256, 48, 3)); enc.update(bn_keys("transition1.0.1", 48))
-    enc.update(conv_keys("transition1.1.0", 256, 96, 3)); enc.update(bn_keys("transition1.1.1", 96))
+    # new-branch transitions are a nested Sequential in the vendored hrnet
+    # (hrnet.py:304-316): transition1.1 = Sequential(Sequential(conv, bn, relu))
+    enc.update(conv_keys("transition1.1.0.0", 256, 96, 3)); enc.update(bn_keys("transition1.1.0.1", 96))
     enc.update(conv_keys("transition2.2.0.0", 96, 192, 3)); enc.update(bn_keys("transition2.2.0.1", 192))
     enc.update(conv_keys("transition3.3.0.0", 192, 384, 3)); enc.update(bn_keys("transition3.3.0.1", 384))
 
