@@ -169,12 +169,24 @@ VARIANTS = {
     "both_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True)),
     "both+remat_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
                                  remat="encoder")),
+    # depthwise-conv-as-shifted-FMAs experiment (encoder_g is the dominant
+    # segment at ~5 TFLOP/s; dw convs bypass the MXU entirely)
+    "shifts_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
+                             dw_impl="shifts")),
+    "shifts_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
+                             dw_impl="shifts")),
     # the reference's *default* encoder is efficientnet-b5
     # (CommonArgParser.py default) — the published AdaBins flagship
     "b5_bs8": (8, dict(encoder_name="efficientnet-b5", use_fused_head=True,
                        use_pallas_chamfer=True)),
     "b5_bs16": (16, dict(encoder_name="efficientnet-b5", use_fused_head=True,
                          use_pallas_chamfer=True)),
+    "b5_shifts_bs8": (8, dict(encoder_name="efficientnet-b5", use_fused_head=True,
+                              use_pallas_chamfer=True, dw_impl="shifts")),
+    # batch knee past bs32 (flat 121.5 -> 124.6 from bs24 -> bs32)
+    "both_bs48": (48, dict(use_fused_head=True, use_pallas_chamfer=True)),
+    "both+remat_bs48": (48, dict(use_fused_head=True, use_pallas_chamfer=True,
+                                 remat="encoder")),
 }
 
 
