@@ -32,12 +32,12 @@ class UpSampleBN(nn.Module):
                     dtype=self.dtype)(f)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS,
                          momentum=0.9, name="bn_a", dtype=jnp.float32)(y)
-        y = nn.leaky_relu(y, 0.01).astype(self.dtype)
+        y = nn.leaky_relu(y.astype(self.dtype), 0.01)
         y = nn.Conv(self.output_features, (3, 3), padding=1, name="conv_b",
                     dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS,
                          momentum=0.9, name="bn_b", dtype=jnp.float32)(y)
-        y = nn.leaky_relu(y, 0.01).astype(self.dtype)
+        y = nn.leaky_relu(y.astype(self.dtype), 0.01)
         return y
 
 

@@ -68,6 +68,50 @@ def _drop_path(x, rate: float, deterministic: bool, rng):
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
+class DepthwiseConv(nn.Module):
+    """Depthwise KxK conv as K^2 shifted multiply-accumulates (opt-in).
+
+    XLA:TPU lowers grouped convolutions through its generic conv path; for
+    feature_group_count == C the MXU contributes nothing (1 input channel per
+    group) and the lowering pays conv machinery for what is really K^2
+    elementwise FMAs. This module expresses the same arithmetic as strided
+    slices * per-channel weights summed in f32 registers — one fused VPU pass
+    over the output, with backward slices/pads that are also elementwise.
+
+    Parameter name ('kernel'), shape (K, K, 1, C) and initializer match
+    nn.Conv(feature_group_count=C, use_bias=False) exactly, so checkpoints
+    are interchangeable with the lax-conv path and the torch converter needs
+    no changes. Padding follows TF-'SAME' via lax.padtype_to_pads — the same
+    semantics nn.Conv(padding='SAME') uses.
+    """
+    kernel_size: int
+    stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, s = self.kernel_size, self.stride
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, 1, c))
+        x = x.astype(self.dtype)
+        w = kernel.astype(self.dtype)
+        pads = jax.lax.padtype_to_pads(x.shape[1:3], (k, k), (s, s), "SAME")
+        xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+        ho = (x.shape[1] + sum(pads[0]) - k) // s + 1
+        wo = (x.shape[2] + sum(pads[1]) - k) // s + 1
+        acc = jnp.zeros((x.shape[0], ho, wo, c), jnp.float32)
+        for di in range(k):
+            for dj in range(k):
+                tap = jax.lax.slice(
+                    xp,
+                    (0, di, dj, 0),
+                    (xp.shape[0], di + (ho - 1) * s + 1, dj + (wo - 1) * s + 1, c),
+                    (1, s, s, 1))
+                acc = acc + (tap * w[di, dj, 0]).astype(jnp.float32)
+        return acc.astype(self.dtype)
+
+
 class SqueezeExcite(nn.Module):
     """SE gate; reduction is computed from the block *input* channels
     (gen-efficientnet convention), passed in as reduced_chs."""
@@ -91,17 +135,22 @@ class DepthwiseSeparableBlock(nn.Module):
     se_reduced_chs: int
     drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
+    dw_impl: str = "conv"          # "conv" (lax grouped conv) | "shifts"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         shortcut = x
         in_chs = x.shape[-1]
-        y = nn.Conv(in_chs, (self.kernel, self.kernel), strides=self.stride,
-                    padding="SAME", feature_group_count=in_chs, use_bias=False,
-                    name="conv_dw", dtype=self.dtype)(x)
+        if self.dw_impl == "shifts":
+            y = DepthwiseConv(self.kernel, self.stride, dtype=self.dtype,
+                              name="conv_dw")(x)
+        else:
+            y = nn.Conv(in_chs, (self.kernel, self.kernel), strides=self.stride,
+                        padding="SAME", feature_group_count=in_chs, use_bias=False,
+                        name="conv_dw", dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn1", dtype=jnp.float32)(y)
-        y = nn.silu(y).astype(self.dtype)
+        y = nn.silu(y.astype(self.dtype))
         y = SqueezeExcite(self.se_reduced_chs, dtype=self.dtype, name="se")(y)
         y = nn.Conv(self.out_chs, (1, 1), use_bias=False, name="conv_pw",
                     dtype=self.dtype)(y)
@@ -122,6 +171,7 @@ class InvertedResidualBlock(nn.Module):
     se_reduced_chs: int
     drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
+    dw_impl: str = "conv"          # "conv" (lax grouped conv) | "shifts"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -132,14 +182,18 @@ class InvertedResidualBlock(nn.Module):
         y = nn.Conv(mid_chs, (1, 1), use_bias=False, name="conv_pw", dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn1", dtype=jnp.float32)(y)
-        y = nn.silu(y).astype(self.dtype)
+        y = nn.silu(y.astype(self.dtype))
 
-        y = nn.Conv(mid_chs, (self.kernel, self.kernel), strides=self.stride,
-                    padding="SAME", feature_group_count=mid_chs, use_bias=False,
-                    name="conv_dw", dtype=self.dtype)(y)
+        if self.dw_impl == "shifts":
+            y = DepthwiseConv(self.kernel, self.stride, dtype=self.dtype,
+                              name="conv_dw")(y)
+        else:
+            y = nn.Conv(mid_chs, (self.kernel, self.kernel), strides=self.stride,
+                        padding="SAME", feature_group_count=mid_chs, use_bias=False,
+                        name="conv_dw", dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn2", dtype=jnp.float32)(y)
-        y = nn.silu(y).astype(self.dtype)
+        y = nn.silu(y.astype(self.dtype))
 
         y = SqueezeExcite(self.se_reduced_chs, dtype=self.dtype, name="se")(y)
 
@@ -162,9 +216,15 @@ class EfficientNetEncoder(nn.Module):
     pretrained RGB kernel slots into channels 0:3 at load time.
     """
     arch: str = "efficientnet-b1"
-    drop_path_rate: float = 0.2
+    # The reference loads the hub model with no kwargs
+    # (unet_adaptive_bins.py:324), and gen-efficientnet's builders default
+    # drop_connect_rate to 0 — reference training runs WITHOUT stochastic
+    # depth, so 0 is the parity default. Set >0 to enable the per-block
+    # linearly-scaled drop-path schedule (the EfficientNet-paper recipe).
+    drop_path_rate: float = 0.0
     remat: bool = False
     dtype: Any = jnp.float32
+    dw_impl: str = "conv"          # "conv" (lax grouped conv) | "shifts"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
@@ -186,7 +246,7 @@ class EfficientNetEncoder(nn.Module):
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn1", dtype=jnp.float32)(y)
         features.append(y)
-        y = nn.silu(y).astype(self.dtype)
+        y = nn.silu(y.astype(self.dtype))
         features.append(y)
 
         total_blocks = sum(round_repeats(r, depth) for (_, _, _, _, r) in _B0_STAGES)
@@ -202,10 +262,12 @@ class EfficientNetEncoder(nn.Module):
                 name = f"blocks_{stage_i}_{rep}"
                 if expand == 1:
                     y = ds_cls(out_chs, kernel, s, se_reduced,
-                               dp_rate, self.dtype, name=name)(y, train)
+                               dp_rate, self.dtype, self.dw_impl,
+                               name=name)(y, train)
                 else:
                     y = ir_cls(out_chs, kernel, s, expand, se_reduced,
-                               dp_rate, self.dtype, name=name)(y, train)
+                               dp_rate, self.dtype, self.dw_impl,
+                               name=name)(y, train)
                 block_idx += 1
             features.append(y)
 
@@ -214,6 +276,6 @@ class EfficientNetEncoder(nn.Module):
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn2", dtype=jnp.float32)(y)
         features.append(y)
-        y = nn.silu(y).astype(self.dtype)
+        y = nn.silu(y.astype(self.dtype))
         features.append(y)
         return features

@@ -101,6 +101,7 @@ class UnetAdaptiveBins(nn.Module):
     insertion_point: str = "before-attn"
     image: str = "rgb"
     remat: str = "none"            # "none" | "encoder" — activation ckpt policy
+    dw_impl: str = "conv"          # encoder depthwise convs: "conv" | "shifts"
     fused_head: bool = False       # Pallas conv+softmax+centers head (TPU only)
     mesh: Any = None               # device mesh; shard_maps the fused head
     # over its 'data' axis (GSPMD can't partition a Mosaic custom call)
@@ -156,6 +157,7 @@ class UnetAdaptiveBins(nn.Module):
 
         features = EfficientNetEncoder(self._arch(), dtype=self.dtype,
                                        remat=self.remat == "encoder",
+                                       dw_impl=self.dw_impl,
                                        name="encoder")(x.astype(self.dtype), train=train)
         num_features = 2048 if self._arch() == "efficientnet-b5" else 1280
         unet_out = DecoderBN(num_features=num_features, num_classes=128,
@@ -257,6 +259,7 @@ def build_model(args, n_bins=None, dtype=jnp.float32, mesh=None) -> UnetAdaptive
         insertion_point=args.insertion_point,
         image=args.image,
         remat=getattr(args, "remat", "none") or "none",
+        dw_impl=getattr(args, "dw_impl", "conv") or "conv",
         fused_head=_fused_head_available(args, mesh),
         mesh=mesh,
         dtype=dtype,

@@ -81,9 +81,26 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     # right speed/accuracy point (~8 ms/step at the flagship shape).
     prec = (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
-    y = jnp.einsum('oh,...hwc->...owc', wh, xf, precision=prec)
-    y = jnp.einsum('pw,...owc->...opc', ww, y, precision=prec)
+    y = _separable_matmuls(wh, ww, xf, prec)
     return y.astype(dtype)
+
+
+def _separable_matmuls(wh, ww, xf, prec):
+    """Apply the two separable resize matmuls, shaped for the MXU.
+
+    For C==1 (depth maps: the SILog train-loss interpolation and the eval /
+    TTA resizes) the generic einsum leaves the size-1 channel on the 128-wide
+    lane axis — 1/128 MXU utilization on both contractions. Squeeze it and
+    contract over (H, W) directly instead; identical arithmetic (same
+    contraction, same precision), just a usable layout.
+    """
+    if xf.shape[-1] == 1:
+        xsq = xf[..., 0]                                        # (..., H, W)
+        y = jnp.einsum('oh,...hw->...ow', wh, xsq, precision=prec)
+        y = jnp.einsum('pw,...ow->...op', ww, y, precision=prec)
+        return y[..., None]
+    y = jnp.einsum('oh,...hwc->...owc', wh, xf, precision=prec)
+    return jnp.einsum('pw,...owc->...opc', ww, y, precision=prec)
 
 
 @functools.lru_cache(maxsize=128)
@@ -114,11 +131,10 @@ def resize_bilinear_half_pixel(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     wh = jnp.asarray(_linear_weights_half_pixel(h, out_h))
     ww = jnp.asarray(_linear_weights_half_pixel(w, out_w))
     xf = x.astype(jnp.float32)
-    # same precision policy as resize_bilinear_align_corners above
+    # same precision + layout policy as resize_bilinear_align_corners above
     prec = (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
-    y = jnp.einsum('oh,...hwc->...owc', wh, xf, precision=prec)
-    y = jnp.einsum('pw,...owc->...opc', ww, y, precision=prec)
+    y = _separable_matmuls(wh, ww, xf, prec)
     return y.astype(dtype)
 
 

@@ -19,6 +19,7 @@ from mde_tpu.ops import (
 from mde_tpu.ops.metrics import compute_errors_masked, eval_mask
 
 
+@pytest.mark.parametrize("c", [3, 1])  # c=1 takes the squeezed-matmul layout
 @pytest.mark.parametrize("in_hw,out_hw", [
     ((13, 17), (26, 34)),
     ((208, 272), (416, 544)),
@@ -26,9 +27,9 @@ from mde_tpu.ops.metrics import compute_errors_masked, eval_mask
     ((5, 6), (5, 6)),      # identity
     ((1, 4), (3, 8)),      # degenerate axis
 ])
-def test_bilinear_align_corners_matches_torch(in_hw, out_hw):
+def test_bilinear_align_corners_matches_torch(in_hw, out_hw, c):
     rng = np.random.default_rng(0)
-    x = rng.standard_normal((2, *in_hw, 3), dtype=np.float32)
+    x = rng.standard_normal((2, *in_hw, c), dtype=np.float32)
     ours = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), out_hw))
     ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size=out_hw,
                         mode="bilinear", align_corners=True).permute(0, 2, 3, 1).numpy()
@@ -150,3 +151,21 @@ def test_parse_cli_paramfile_with_overrides(tmp_path):
     assert a.bs == 4
     assert a.resume == "latest"
     assert a.epochs == 7  # CLI overrides the param file
+
+
+@pytest.mark.parametrize("c", [5, 1])
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((16, 20), (37, 45)),
+    ((37, 45), (16, 20)),
+])
+def test_bilinear_half_pixel_matches_torch(in_hw, out_hw, c):
+    """align_corners=False (the HRNet / mmdet convention), both channel
+    layouts of _separable_matmuls."""
+    from mde_tpu.ops.resize import resize_bilinear_half_pixel
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, *in_hw, c), dtype=np.float32)
+    ours = np.asarray(resize_bilinear_half_pixel(jnp.asarray(x), out_hw))
+    ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size=out_hw,
+                        mode="bilinear", align_corners=False).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
