@@ -185,6 +185,17 @@ class TrainArgParser(CommonArgParser):
                           action=argparse.BooleanOptionalAction,
                           help='fuse conv_out+softmax+bin-centers into a Pallas '
                                'kernel (skips the HBM round-trip of the bin logits)')
+        # TPU-native extension: dispatch granularity. N>1 scans N train steps
+        # inside one jitted dispatch — one host round-trip per window instead
+        # of per step (same math and rng stream; metrics still logged per
+        # step). Useful when the host<->TPU link is high-latency.
+        self.add_argument('--steps_per_dispatch', default=1, type=int,
+                          help='train steps fused into one device dispatch')
+        # TPU-native extension: encoder depthwise-conv implementation.
+        # 'shifts' expresses each depthwise conv as K^2 shifted FMAs instead
+        # of a lax grouped conv; checkpoints are interchangeable.
+        self.add_argument('--dw_impl', default='conv', choices=['conv', 'shifts'],
+                          help='encoder depthwise conv lowering')
 
 
 class EvalArgParser(CommonArgParser):

@@ -21,7 +21,8 @@ from ..models import build_model
 from ..parallel import (batch_sharding, make_mesh, replicated_sharding,
                         shard_batch_size, train_state_sharding)
 from ..parallel.mesh import maybe_init_distributed
-from ..train.loop import make_eval_step, make_train_step, make_run_id, validate
+from ..train.loop import (make_eval_step, make_multi_step, make_train_step,
+                          make_run_id, validate)
 from ..train.state import create_train_state
 from ..utils import setup_exp_dir
 from ..utils.graphs import GraphBuilderNYUD2, visualize_semantics
@@ -144,18 +145,22 @@ def main_train(args, max_steps=None, interactive=True):
     # restored optimizer count; this only keeps log/validation cadence aligned
     step_rng = jax.random.PRNGKey(getattr(args, "seed", 42) + 1)
 
-    for epoch in range(start_epoch, args.epochs):
-        logger.add_scalar("Epoch", epoch, step)
-        train_loader.set_epoch(epoch)
-        prefetcher = DevicePrefetcher(train_loader, sharding=data_sh)
-        for batch in prefetcher:
-            state, metrics = train_step(state, _device_batch(batch),
-                                        jax.random.fold_in(step_rng, step))
+    # --steps_per_dispatch N scans N steps inside one dispatch (one host
+    # round-trip per window instead of per step) — same math, same rng
+    # stream; logging/validation cadence is applied per step within the
+    # window, with figures/validation evaluated on the end-of-window state.
+    n_dispatch = max(1, int(getattr(args, "steps_per_dispatch", 1) or 1))
+    multi_step = make_multi_step(train_step, n_dispatch) if n_dispatch > 1 else None
 
+    def bookkeep(window_metrics, batch, epoch):
+        """Per-step logging/validation/checkpoint for one dispatch window.
+        Returns True when max_steps is reached (caller should stop)."""
+        nonlocal step, best_loss
+        for m_j in window_metrics:
             if step % 5 == 0:
-                logger.add_scalar("Train/Loss", float(metrics["loss"]), step)
-                logger.add_scalar("Train/SILog", float(metrics["silog"]), step)
-                logger.add_scalar("Train/ChamferLoss", float(metrics["chamfer"]), step)
+                logger.add_scalar("Train/Loss", m_j["loss"], step)
+                logger.add_scalar("Train/SILog", m_j["silog"], step)
+                logger.add_scalar("Train/ChamferLoss", m_j["chamfer"], step)
             if step % 500 == 0:
                 # qualitative grid every 500 steps (reference train.py:437-452)
                 arrays = _device_batch(batch)
@@ -185,6 +190,39 @@ def main_train(args, max_steps=None, interactive=True):
                     best_loss = m["abs_rel"]
 
             if max_steps is not None and step >= max_steps:
+                return True
+        return False
+
+    for epoch in range(start_epoch, args.epochs):
+        logger.add_scalar("Epoch", epoch, step)
+        train_loader.set_epoch(epoch)
+        prefetcher = DevicePrefetcher(train_loader, sharding=data_sh)
+        group = []
+        for batch in prefetcher:
+            if multi_step is None:
+                state, metrics = train_step(state, _device_batch(batch),
+                                            jax.random.fold_in(step_rng, step))
+                window = [{k: float(v) for k, v in metrics.items()}]
+            else:
+                group.append(batch)
+                if len(group) < n_dispatch:
+                    continue
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                       *[_device_batch(b) for b in group])
+                state, ms = multi_step(state, stacked, step, step_rng)
+                ms = {k: np.asarray(v) for k, v in ms.items()}
+                window = [{k: float(v[j]) for k, v in ms.items()}
+                          for j in range(n_dispatch)]
+                batch = group[-1]
+                group = []
+            if bookkeep(window, batch, epoch):
+                logger.close()
+                return state
+        # epoch tail shorter than the dispatch window: flush per-step
+        for batch in group:
+            state, metrics = train_step(state, _device_batch(batch),
+                                        jax.random.fold_in(step_rng, step))
+            if bookkeep([{k: float(v) for k, v in metrics.items()}], batch, epoch):
                 logger.close()
                 return state
     logger.close()

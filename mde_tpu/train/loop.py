@@ -106,6 +106,31 @@ def make_train_step(model, args, sem_embedder, inst_embedder, mesh):
     return train_step
 
 
+def make_multi_step(train_step, n: int):
+    """Scan `n` train steps inside ONE dispatch (--steps_per_dispatch).
+
+    The single-step driver pays one host->device dispatch round-trip per
+    step; on remote/tunneled TPU attachments that RTT can rival the step
+    itself. This runner consumes a pytree of `n` stacked batches and runs the
+    whole window on-device, returning per-step metrics stacked on the leading
+    axis. The rng stream is fold_in(rng, global_step), the same stream the
+    per-step driver path uses; results match the single-step sequence to f32
+    reduction-order tolerance (the scanned body compiles with different
+    fusion choices than the standalone step —
+    tests/test_train.py::test_multi_step_dispatch_matches_single).
+    """
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(state, batches, start_step, rng):
+        def body(s, inp):
+            i, b = inp
+            return train_step.fn(s, b, jax.random.fold_in(rng, i))
+        return jax.lax.scan(body, state, (start_step + jnp.arange(n), batches))
+
+    return run
+
+
 def make_eval_step(model, args, sem_embedder, inst_embedder):
     """Jitted eval step: forward (no TTA, matching reference validate /
     evaluate), align-corners resize to GT, clamp+scrub, masked metrics —

@@ -114,3 +114,23 @@ def test_checkpoint_roundtrip(tree, tmp_path):
     assert epoch == 3
     np.testing.assert_array_equal(np.asarray(restored.params["w"]),
                                   np.asarray(params["w"]))
+
+
+def test_train_smoke_multi_dispatch(tree, tmp_path):
+    """main_train with --steps_per_dispatch 2: the grouped scan path must
+    drive the same bookkeeping (scalars, figures, validation checkpoint)."""
+    from mde_tpu.train.driver import main_train
+
+    root, split, eval_split = tree
+    args = _args(root, split, tmp_path, eval_split, steps_per_dispatch=2)
+    state = main_train(args, max_steps=4, interactive=False)
+    assert state is not None
+    exp_dir = args.exp_dir
+    entries = os.listdir(exp_dir)
+    assert any("latest" in e for e in entries), entries
+    import json
+    events = [json.loads(l) for l in open(os.path.join(exp_dir, "events.jsonl"))]
+    scalar_steps = {e["step"] for e in events if e.get("tag") == "Train/Loss"}
+    assert 0 in scalar_steps  # per-step cadence preserved inside the window
+    fig_tags = {e["tag"] for e in events if "figure" in e}
+    assert "Train/QualSamples" in fig_tags, fig_tags

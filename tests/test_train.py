@@ -197,3 +197,49 @@ def test_tensor_parallel_matches_dp(tiny_setup):
         losses.append(float(metrics["loss"]))
     np.testing.assert_allclose(losses, base, rtol=2e-4,
                                err_msg="tensor-parallel step diverged from DP")
+
+
+def test_multi_step_dispatch_matches_single(tiny_setup):
+    """--steps_per_dispatch scans N steps in one dispatch with the same
+    fold_in(rng, global_step) stream as the per-step driver path — final
+    losses and params must match the single-step sequence exactly."""
+    from mde_tpu.train.loop import make_multi_step
+
+    args, model, state, img, depth = tiny_setup
+    mesh = make_mesh("1", devices=jax.devices()[:1])
+    batch = {"image": jax.device_put(img, batch_sharding(mesh)),
+             "depth": jax.device_put(depth, batch_sharding(mesh))}
+    step = make_train_step(model, args, None, None, mesh)
+    rng = jax.random.PRNGKey(7)
+
+    # single-step path: fold_in(rng, step) per step, like train/driver.py
+    s1 = jax.device_put(jax.tree_util.tree_map(jnp.array, state),
+                        replicated_sharding(mesh))
+    singles = []
+    for i in range(4):
+        s1, m = step(s1, batch, jax.random.fold_in(rng, i))
+        singles.append(float(m["loss"]))
+
+    # two dispatch windows of 2 steps
+    s2 = jax.device_put(jax.tree_util.tree_map(jnp.array, state),
+                        replicated_sharding(mesh))
+    multi = make_multi_step(step, 2)
+    stacked = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), batch)
+    s2, ms0 = multi(s2, stacked, 0, rng)
+    s2, ms1 = multi(s2, stacked, 2, rng)
+    windows = [float(v) for v in np.asarray(ms0["loss"])] + \
+              [float(v) for v in np.asarray(ms1["loss"])]
+
+    # step 0 runs from identical state/batch/rng — any rng-stream or wiring
+    # bug would be O(1); later steps inherit f32 reduction-order noise from
+    # the scanned body compiling differently than the standalone step (same
+    # class as test_remat_encoder_matches_no_remat, ~2e-4 rel by step 4)
+    np.testing.assert_allclose(singles[0], windows[0], rtol=1e-6)
+    np.testing.assert_allclose(singles, windows, rtol=1e-3)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    # params see the same noise through AdamW's sign-sensitive updates on
+    # near-zero weights — bound by a few update magnitudes (lr=3.57e-4)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
