@@ -191,6 +191,12 @@ class TrainArgParser(CommonArgParser):
         # step). Useful when the host<->TPU link is high-latency.
         self.add_argument('--steps_per_dispatch', default=1, type=int,
                           help='train steps fused into one device dispatch')
+        # TPU-native extension: gradient accumulation. K>1 splits each batch
+        # into K sequential micro-batches and applies the mean gradient once
+        # (the reference's DDP replica-mean objective with micro-batch in
+        # place of replica) — activation memory caps at one micro-batch.
+        self.add_argument('--accum_steps', default=1, type=int,
+                          help='gradient-accumulation micro-steps per batch')
         # TPU-native extension: encoder depthwise-conv implementation.
         # 'shifts' expresses each depthwise conv as K^2 shifted FMAs instead
         # of a lax grouped conv; checkpoints are interchangeable.

@@ -91,9 +91,42 @@ def make_train_step(model, args, sem_embedder, inst_embedder, mesh):
         loss = l_dense + w_chamfer * l_chamfer
         return loss, (mutated.get("batch_stats", batch_stats), l_dense, l_chamfer)
 
+    # --accum_steps K: split the batch into K micro-batches, run K
+    # forward/backward passes sequentially and apply the MEAN gradient once.
+    # This reproduces the reference's DDP objective shape (each GPU computes
+    # its own SILog and DDP averages the gradients, train.py:298,426) with
+    # micro-batch in place of replica, and caps activation memory at one
+    # micro-batch — the lever for large effective batches on few chips.
+    # BN running stats thread through the micro-passes sequentially, exactly
+    # like K successive forwards on one replica.
+    accum = max(1, int(getattr(args, "accum_steps", 1) or 1))
+
     def step_fn(state: TrainState, batch, rng):
-        (loss, (new_stats, l_dense, l_chamfer)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
+        if accum == 1:
+            (loss, (new_stats, l_dense, l_chamfer)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
+        else:
+            bs = batch["image"].shape[0]
+            assert bs % accum == 0, (
+                f"batch size {bs} must divide --accum_steps {accum}")
+            micros = jax.tree_util.tree_map(
+                lambda v: v.reshape(accum, bs // accum, *v.shape[1:]), batch)
+
+            def micro_body(carry, inp):
+                stats, gsum, lsum = carry
+                mb, i = inp
+                (l, (stats, l_d, l_c)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, stats, mb,
+                                           jax.random.fold_in(rng, 4096 + i))
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                return (stats, gsum, lsum + jnp.stack([l, l_d, l_c])), None
+
+            gzero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (new_stats, gsum, lsum), _ = jax.lax.scan(
+                micro_body, (state.batch_stats, gzero, jnp.zeros(3)),
+                (micros, jnp.arange(accum)))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            loss, l_dense, l_chamfer = lsum[0] / accum, lsum[1] / accum, lsum[2] / accum
         state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=new_stats)
         metrics = {"loss": loss, "silog": l_dense, "chamfer": l_chamfer}

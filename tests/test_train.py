@@ -243,3 +243,52 @@ def test_multi_step_dispatch_matches_single(tiny_setup):
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_accum_steps_matches_manual_mean_gradient(tiny_setup):
+    """--accum_steps 2 must equal the hand-built oracle: per-micro-batch
+    grads with sequentially threaded BN stats and fold_in(rng, 4096+i)
+    micro rngs, averaged, applied through the same optimizer once."""
+    from mde_tpu.ops.losses import silog_loss, bins_chamfer_loss
+
+    args, model, state, img, depth = tiny_setup
+    mesh = make_mesh("1", devices=jax.devices()[:1])
+    batch = {"image": jax.device_put(img, batch_sharding(mesh)),
+             "depth": jax.device_put(depth, batch_sharding(mesh))}
+    rng = jax.random.PRNGKey(3)
+
+    args_a = _args(accum_steps=2)
+    step_a = make_train_step(model, args_a, None, None, mesh)
+    s_a = jax.device_put(jax.tree_util.tree_map(jnp.array, state),
+                         replicated_sharding(mesh))
+    s_a, m_a = step_a(s_a, batch, rng)
+
+    # oracle: replicate the loop's loss for this config (no cues)
+    def loss_fn(params, stats, b, r):
+        rngs = {"dropout": jax.random.fold_in(r, 0),
+                "drop_path": jax.random.fold_in(r, 1)}
+        (edges, pred), mut = model.apply(
+            {"params": params, "batch_stats": stats}, b["image"],
+            None, None, None, train=True, rngs=rngs, mutable=["batch_stats"])
+        mask = b["depth"] > float(args.min_depth)
+        loss = silog_loss(pred, b["depth"], mask) \
+            + float(args.w_chamfer) * bins_chamfer_loss(edges, b["depth"])
+        return loss, mut["batch_stats"]
+
+    s_o = jax.tree_util.tree_map(jnp.array, state)
+    half = {k: v[:4] for k, v in batch.items()}, {k: v[4:] for k, v in batch.items()}
+    (l0, stats1), g0 = jax.value_and_grad(loss_fn, has_aux=True)(
+        s_o.params, s_o.batch_stats, half[0], jax.random.fold_in(rng, 4096))
+    (l1, stats2), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+        s_o.params, stats1, half[1], jax.random.fold_in(rng, 4097))
+    gm = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g0, g1)
+    s_o = s_o.apply_gradients(grads=gm).replace(batch_stats=stats2)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float((l0 + l1) / 2), rtol=1e-6)
+    # scanned vs unrolled micro-passes compile with different fusion
+    # choices; AdamW's m/sqrt(v) amplifies the f32 grad noise on
+    # near-zero-variance weights — bound well below one update (lr=3.57e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_a.params),
+                    jax.tree_util.tree_leaves(s_o.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-5)
