@@ -196,7 +196,10 @@ def main_train(args, max_steps=None, interactive=True):
     for epoch in range(start_epoch, args.epochs):
         logger.add_scalar("Epoch", epoch, step)
         train_loader.set_epoch(epoch)
-        prefetcher = DevicePrefetcher(train_loader, sharding=data_sh)
+        # keep at least one full dispatch window in flight so grouped
+        # dispatches don't stall on batch assembly
+        prefetcher = DevicePrefetcher(train_loader, sharding=data_sh,
+                                      depth=max(2, n_dispatch + 1))
         group = []
         for batch in prefetcher:
             if multi_step is None:
