@@ -198,9 +198,13 @@ class TrainArgParser(CommonArgParser):
         self.add_argument('--accum_steps', default=1, type=int,
                           help='gradient-accumulation micro-steps per batch')
         # TPU-native extension: encoder depthwise-conv implementation.
-        # 'shifts' expresses each depthwise conv as K^2 shifted FMAs instead
-        # of a lax grouped conv; checkpoints are interchangeable.
-        self.add_argument('--dw_impl', default='conv', choices=['conv', 'shifts'],
+        # 'shifts' expresses each depthwise conv as K^2 shifted FMAs at the
+        # XLA level (measured 1.6x SLOWER than 'conv' — kept for A/B);
+        # 'pallas' routes stride-1 depthwise convs through the VMEM-halo
+        # Mosaic kernel (kernels/dw_conv.py; TPU-only, falls back to 'conv'
+        # elsewhere). Checkpoints are interchangeable across all three.
+        self.add_argument('--dw_impl', default='conv',
+                          choices=['conv', 'shifts', 'pallas'],
                           help='encoder depthwise conv lowering')
 
 

@@ -112,6 +112,40 @@ class DepthwiseConv(nn.Module):
         return acc.astype(self.dtype)
 
 
+class PallasDepthwiseConv(nn.Module):
+    """Stride-1 depthwise conv through kernels/dw_conv.py: one DMA of each
+    halo'd input tile into VMEM, all K^2 taps from registers (see that module
+    for why the XLA-level alternatives lose). Parameter name ('kernel'),
+    shape (K, K, 1, C) and initializer match nn.Conv(feature_group_count=C,
+    use_bias=False), so checkpoints are interchangeable with the other
+    dw_impl paths."""
+    kernel_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..kernels.dw_conv import dw_conv2d_pallas
+        k = self.kernel_size
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, 1, c))
+        return dw_conv2d_pallas(x.astype(self.dtype),
+                                kernel.astype(self.dtype), False)
+
+
+def _dw_conv(kernel: int, stride: int, dtype, dw_impl: str, chs: int):
+    """Pick the depthwise conv implementation for one block site. The Pallas
+    kernel covers stride 1 / odd K; stride-2 stage transitions (half-res
+    output, 4 of ~23 blocks) stay on the lax grouped conv."""
+    if dw_impl == "pallas" and stride == 1 and kernel % 2 == 1:
+        return PallasDepthwiseConv(kernel, dtype=dtype, name="conv_dw")
+    if dw_impl == "shifts":
+        return DepthwiseConv(kernel, stride, dtype=dtype, name="conv_dw")
+    return nn.Conv(chs, (kernel, kernel), strides=stride, padding="SAME",
+                   feature_group_count=chs, use_bias=False, name="conv_dw",
+                   dtype=dtype)
+
+
 class SqueezeExcite(nn.Module):
     """SE gate; reduction is computed from the block *input* channels
     (gen-efficientnet convention), passed in as reduced_chs."""
@@ -141,13 +175,8 @@ class DepthwiseSeparableBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         shortcut = x
         in_chs = x.shape[-1]
-        if self.dw_impl == "shifts":
-            y = DepthwiseConv(self.kernel, self.stride, dtype=self.dtype,
-                              name="conv_dw")(x)
-        else:
-            y = nn.Conv(in_chs, (self.kernel, self.kernel), strides=self.stride,
-                        padding="SAME", feature_group_count=in_chs, use_bias=False,
-                        name="conv_dw", dtype=self.dtype)(x)
+        y = _dw_conv(self.kernel, self.stride, self.dtype, self.dw_impl,
+                     in_chs)(x)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn1", dtype=jnp.float32)(y)
         y = nn.silu(y.astype(self.dtype))
@@ -184,13 +213,8 @@ class InvertedResidualBlock(nn.Module):
                          momentum=0.99, name="bn1", dtype=jnp.float32)(y)
         y = nn.silu(y.astype(self.dtype))
 
-        if self.dw_impl == "shifts":
-            y = DepthwiseConv(self.kernel, self.stride, dtype=self.dtype,
-                              name="conv_dw")(y)
-        else:
-            y = nn.Conv(mid_chs, (self.kernel, self.kernel), strides=self.stride,
-                        padding="SAME", feature_group_count=mid_chs, use_bias=False,
-                        name="conv_dw", dtype=self.dtype)(y)
+        y = _dw_conv(self.kernel, self.stride, self.dtype, self.dw_impl,
+                     mid_chs)(y)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn2", dtype=jnp.float32)(y)
         y = nn.silu(y.astype(self.dtype))

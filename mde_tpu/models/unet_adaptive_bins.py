@@ -243,6 +243,25 @@ def _fused_head_available(args, mesh):
     return True
 
 
+def _resolve_dw_impl(args, mesh) -> str:
+    """dw_impl='pallas' is TPU-only (Mosaic); off-TPU it falls back to the
+    lax grouped conv unless the CPU tests force interpret mode — the same
+    gating policy as _fused_head_available."""
+    impl = getattr(args, "dw_impl", "conv") or "conv"
+    if impl != "pallas":
+        return impl
+    if mesh is not None:
+        import numpy as np
+        platform = np.asarray(mesh.devices).flat[0].platform
+    else:
+        import jax
+        platform = jax.devices()[0].platform
+    if platform in ("cpu", "gpu"):
+        from ..kernels import dw_conv as _dw_mod
+        return "pallas" if _dw_mod.FORCE_INTERPRET else "conv"
+    return impl
+
+
 def build_model(args, n_bins=None, dtype=jnp.float32, mesh=None) -> UnetAdaptiveBins:
     """Construct the model from a parsed args namespace (the reference's
     UnetAdaptiveBins.build surface, unet_adaptive_bins.py:315-360, minus
@@ -259,7 +278,7 @@ def build_model(args, n_bins=None, dtype=jnp.float32, mesh=None) -> UnetAdaptive
         insertion_point=args.insertion_point,
         image=args.image,
         remat=getattr(args, "remat", "none") or "none",
-        dw_impl=getattr(args, "dw_impl", "conv") or "conv",
+        dw_impl=_resolve_dw_impl(args, mesh),
         fused_head=_fused_head_available(args, mesh),
         mesh=mesh,
         dtype=dtype,

@@ -145,6 +145,15 @@ def main():
 
     seg_pair("dw_hr_shifts", DWShifts(), xdw)
 
+    class DWPallas(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            from mde_tpu.models.efficientnet import PallasDepthwiseConv
+            return PallasDepthwiseConv(3, dtype=DT, name="dw")(x)
+
+    if jax.devices()[0].platform == "tpu":
+        seg_pair("dw_hr_pallas", DWPallas(), xdw)
+
     class PW(nn.Module):
         @nn.compact
         def __call__(self, x, train=True):
@@ -153,6 +162,54 @@ def main():
     xpw = jnp.asarray(rng.standard_normal((BS, H // 2, W // 2, 16),
                                           dtype=np.float32), DT)
     seg_pair("pw_hr", PW(), xpw)
+
+    # ---- layout ceilings (run with PROBE_ITERS=100 to beat the dispatch
+    # floor). Question: does a C=16/32 NHWC tensor pay 128-lane-padded HBM
+    # traffic on TPU? If ew_c16 ~= ew_c128 the minor dim is being padded and
+    # the early encoder stages should move W onto lanes; if ew_c16 ~=
+    # ew_c128/8 the layout is packed and the inefficiency is elsewhere.
+    class Silu(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            return nn.silu(x * 1.0001)
+
+    for cc in (16, 32, 128):
+        xe = jnp.asarray(rng.standard_normal((BS, H // 2, W // 2, cc),
+                                             dtype=np.float32), DT)
+        seg_pair(f"ew_c{cc}", Silu(), xe)
+    # same element count as ew_c16, W=272 on lanes instead of C=16
+    xt = jnp.asarray(rng.standard_normal((BS, 16, H // 2, W // 2),
+                                         dtype=np.float32), DT)
+    seg_pair("ew_wlanes16", Silu(), xt)
+
+    class DWnchw(nn.Module):
+        """Depthwise 3x3 with the feature dim at position 1 (W on lanes)."""
+        @nn.compact
+        def __call__(self, x, train=True):
+            kern = self.param("kernel", nn.initializers.lecun_normal(),
+                              (3, 3, 1, 96))
+            return jax.lax.conv_general_dilated(
+                x, kern.astype(DT), (1, 1), "SAME",
+                dimension_numbers=("NCHW", "HWIO", "NCHW"),
+                feature_group_count=96)
+
+    xdw_t = jnp.asarray(rng.standard_normal((BS, 96, H // 2, W // 2),
+                                            dtype=np.float32), DT)
+    seg_pair("dw_hr_nchw", DWnchw(), xdw_t)
+
+    class PWnchw(nn.Module):
+        """1x1 conv 16->96 in NCHW (W on lanes; contraction over dim 1)."""
+        @nn.compact
+        def __call__(self, x, train=True):
+            kern = self.param("kernel", nn.initializers.lecun_normal(),
+                              (1, 1, 16, 96))
+            return jax.lax.conv_general_dilated(
+                x, kern.astype(DT), (1, 1), "SAME",
+                dimension_numbers=("NCHW", "HWIO", "NCHW"))
+
+    xpw_t = jnp.asarray(rng.standard_normal((BS, 16, H // 2, W // 2),
+                                            dtype=np.float32), DT)
+    seg_pair("pw_hr_nchw", PWnchw(), xpw_t)
 
     print(json.dumps({"tunnel_tflops_post": tunnel_health()}), flush=True)
 

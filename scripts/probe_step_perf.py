@@ -151,6 +151,8 @@ VARIANTS = {
     # KITTI kb_crop operating point (352x704 crops, dataloader.py garg/kb
     # rules; full-width eval is 352x1216)
     "kitti_bs16": (16, dict(shape=(352, 704), max_depth=80.0)),
+    # bs16 hit the external compile-service size limit 2026-08-18; bs8 retry
+    "kitti_bs8": (8, dict(shape=(352, 704), max_depth=80.0)),
     "kitti_eval_shape": (4, dict(shape=(352, 1216), max_depth=80.0)),
     # paper's maximal cue config (params/args_train_nyu_efficientnet-b1_sem_
     # glove-25d_inst_ade20k_swin_insertion_point_input.txt): glove-25d
@@ -175,6 +177,13 @@ VARIANTS = {
                              dw_impl="shifts")),
     "shifts_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
                              dw_impl="shifts")),
+    # Pallas depthwise kernel (kernels/dw_conv.py): VMEM-halo slab, one DMA
+    # per tile — the formulation the XLA-level 'shifts' experiment couldn't
+    # express (it lost 1.6x on K^2 HBM re-reads)
+    "dwp_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
+                          dw_impl="pallas")),
+    "dwp_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
+                          dw_impl="pallas")),
     # the reference's *default* encoder is efficientnet-b5
     # (CommonArgParser.py default) — the published AdaBins flagship
     "b5_bs8": (8, dict(encoder_name="efficientnet-b5", use_fused_head=True,
