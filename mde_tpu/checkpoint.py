@@ -24,16 +24,40 @@ except ImportError:  # pragma: no cover
 
 # ----------------------------------------------------------------- orbax side
 
-def save_checkpoint(state, epoch: int, filename: str, root: str = "./checkpoints"):
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def save_checkpoint(state, epoch: int, filename: str, root: str = "./checkpoints",
+                    async_save: bool = False):
     """Write the TrainState under root/filename (a directory). Mirrors
     save_checkpoint(model, optimizer, epoch, filename, root) at
-    reference model_io.py:15-26."""
+    reference model_io.py:15-26.
+
+    With async_save=True the disk write happens on orbax's background thread
+    (the device->host fetch is still synchronous), so training's next
+    dispatch window overlaps the serialization. Call wait_for_checkpoints()
+    before reading the file back or exiting."""
     os.makedirs(root, exist_ok=True)
     path = os.path.abspath(os.path.join(root, filename))
     ckpt = {"state": jax.device_get(state), "epoch": epoch}
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, ckpt, force=True)
+    if async_save:
+        _async_checkpointer().save(path, ckpt, force=True)
+    else:
+        ocp.PyTreeCheckpointer().save(path, ckpt, force=True)
     return path
+
+
+def wait_for_checkpoints():
+    """Block until every async save has committed (no-op otherwise)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def load_checkpoint(fpath: str, state=None):

@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..checkpoint import load_backbone_npz, save_checkpoint
+from ..checkpoint import (load_backbone_npz, save_checkpoint,
+                          wait_for_checkpoints)
 from ..cues import InstanceEmbedder, SemanticsEmbedder
 from ..data import DepthDataLoader
 from ..data.prefetch import DevicePrefetcher
@@ -182,11 +183,12 @@ def main_train(args, max_steps=None, interactive=True):
                 pred = qual_forward(state.params, state.batch_stats, arrays)
                 _log_qual_figure(logger, graph_builder, "Test/QualSamples",
                                  args, batch, pred, step)
+                # async: the disk write overlaps the next dispatch window
                 save_checkpoint(state, epoch, f"{experiment_name}_{run_id}_latest",
-                                root=exp_dir)
+                                root=exp_dir, async_save=True)
                 if m.get("abs_rel", np.inf) < best_loss:
                     save_checkpoint(state, epoch, f"{experiment_name}_{run_id}_best",
-                                    root=exp_dir)
+                                    root=exp_dir, async_save=True)
                     best_loss = m["abs_rel"]
 
             if max_steps is not None and step >= max_steps:
@@ -220,6 +222,7 @@ def main_train(args, max_steps=None, interactive=True):
                 group = []
             if bookkeep(window, batch, epoch):
                 logger.close()
+                wait_for_checkpoints()
                 return state
         # epoch tail shorter than the dispatch window: flush per-step
         for batch in group:
@@ -227,8 +230,10 @@ def main_train(args, max_steps=None, interactive=True):
                                         jax.random.fold_in(step_rng, step))
             if bookkeep([{k: float(v) for k, v in metrics.items()}], batch, epoch):
                 logger.close()
+                wait_for_checkpoints()
                 return state
     logger.close()
+    wait_for_checkpoints()
     return state
 
 
