@@ -148,16 +148,19 @@ def _bwd_kernel(xs_hbm, gs_hbm, w_ref, dx_ref, dw_ref, xslab, gslab, sems,
     dw_ref[...] += jnp.concatenate(dw_rows, axis=0)
 
 
-def _flatten_padded(x, p, tail_pad):
-    """(B, H, W, C) -> (B, (H+2p)*W + 2p + tail_pad, C): H zero-pad then flat
-    row pad, so slab index (r+di)*W + w+dj is in-bounds for every tap of
-    every tile; tail_pad extends the last tile's slab to its 8-aligned DMA
-    length (the last tile's start + padded slab length must stay in
-    bounds)."""
+def _flatten_padded(x, p, tail_pad, c_pad):
+    """(B, H, W, C) -> (B, (H+2p)*W + 2p + tail_pad, c_pad): H zero-pad then
+    flat row pad, so slab index (r+di)*W + w+dj is in-bounds for every tap of
+    every tile; tail_pad extends the last tile's slab to its aligned DMA
+    length (the last tile's start + padded slab length must stay in bounds);
+    c_pad rounds channels up to a full lane tile — Mosaic requires DMA slice
+    extents on the minor dim to be 128-multiples, and TPU HBM tiling pads the
+    minor dim to 128 anyway, so the explicit pad adds no physical traffic
+    (XLA fuses the pad into the producer)."""
     b, h, w, c = x.shape
     xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0)))
     flat = xp.reshape(b, (h + 2 * p) * w, c)
-    return jnp.pad(flat, ((0, 0), (p, p + tail_pad), (0, 0)))
+    return jnp.pad(flat, ((0, 0), (p, p + tail_pad), (0, c_pad - c)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -176,10 +179,12 @@ def _dw_fwd(x, kernel, interpret):
     p = (k - 1) // 2
     th = _pick_th(h, w, c, p, x.dtype.itemsize)
     thw = th * w
+    cp = _round_align(c, 128)
     slab_len = (th + 2 * p) * w + 2 * p
     slab_pad = _round_align(slab_len, _sublane_align(x.dtype.itemsize))
-    xflat = _flatten_padded(x, p, slab_pad - slab_len)
-    wrows = kernel.reshape(k * k, c).astype(jnp.float32)
+    xflat = _flatten_padded(x, p, slab_pad - slab_len, cp)
+    wrows = jnp.pad(kernel.reshape(k * k, c).astype(jnp.float32),
+                    ((0, 0), (0, cp - c)))
     body = functools.partial(_fwd_kernel, k=k, p=p, th=th, w=w, dtype=x.dtype)
     out = pl.pallas_call(
         body,
@@ -190,19 +195,19 @@ def _dw_fwd(x, kernel, interpret):
             transcendentals=0),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((k * k, c), lambda bb, rr: (0, 0),
+            pl.BlockSpec((k * k, cp), lambda bb, rr: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, thw, c), lambda bb, rr: (bb, rr, 0),
+        out_specs=pl.BlockSpec((1, thw, cp), lambda bb, rr: (bb, rr, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h * w, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h * w, cp), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((slab_pad, c), x.dtype),
+            pltpu.VMEM((slab_pad, cp), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xflat, wrows)
-    return out.reshape(b, h, w, c), (x, kernel)
+    return out[..., :c].reshape(b, h, w, c), (x, kernel)
 
 
 def _dw_bwd(interpret, residuals, g):
@@ -214,11 +219,13 @@ def _dw_bwd(interpret, residuals, g):
     g = g.astype(x.dtype)
     th = _pick_th(h, w, c, p, x.dtype.itemsize)
     thw = th * w
+    cp = _round_align(c, 128)
     slab_len = (th + 2 * p) * w + 2 * p
     slab_pad = _round_align(slab_len, _sublane_align(x.dtype.itemsize))
-    xflat = _flatten_padded(x, p, slab_pad - slab_len)
-    gflat = _flatten_padded(g, p, slab_pad - slab_len)
-    wrows = kernel.reshape(k * k, c).astype(jnp.float32)
+    xflat = _flatten_padded(x, p, slab_pad - slab_len, cp)
+    gflat = _flatten_padded(g, p, slab_pad - slab_len, cp)
+    wrows = jnp.pad(kernel.reshape(k * k, c).astype(jnp.float32),
+                    ((0, 0), (0, cp - c)))
     body = functools.partial(_bwd_kernel, k=k, p=p, th=th, w=w, dtype=x.dtype)
     dx, dw = pl.pallas_call(
         body,
@@ -230,28 +237,28 @@ def _dw_bwd(interpret, residuals, g):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((k * k, c), lambda bb, rr: (0, 0),
+            pl.BlockSpec((k * k, cp), lambda bb, rr: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, thw, c), lambda bb, rr: (bb, rr, 0),
+            pl.BlockSpec((1, thw, cp), lambda bb, rr: (bb, rr, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * k, c), lambda bb, rr: (0, 0),
+            pl.BlockSpec((k * k, cp), lambda bb, rr: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h * w, c), x.dtype),
-            jax.ShapeDtypeStruct((k * k, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, h * w, cp), x.dtype),
+            jax.ShapeDtypeStruct((k * k, cp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((slab_pad, c), x.dtype),
-            pltpu.VMEM((slab_pad, c), g.dtype),
+            pltpu.VMEM((slab_pad, cp), x.dtype),
+            pltpu.VMEM((slab_pad, cp), g.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xflat, gflat, wrows)
-    dkernel = dw.reshape(k, k, 1, c).astype(kernel.dtype)
-    return dx.reshape(b, h, w, c), dkernel
+    dkernel = dw[:, :c].reshape(k, k, 1, c).astype(kernel.dtype)
+    return dx[..., :c].reshape(b, h, w, c), dkernel
 
 
 dw_conv2d_pallas.defvjp(_dw_fwd, _dw_bwd)
