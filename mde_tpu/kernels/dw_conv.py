@@ -37,7 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 # the model call sites don't plumb an interpret flag through flax.
 FORCE_INTERPRET = False
 
-_SLAB_BUDGET_BYTES = 3 * 1024 * 1024   # per-slab VMEM cap when picking TH
+# Per-slab cap when picking TH. The scoped-VMEM stack limit is 16M per
+# kernel and the real high-water mark is several times the slab: fwd holds
+# slab + double-buffered out block + an f32 accumulator + unrolled-tap
+# temporaries; bwd holds two slabs and two f32 (thw, C) values. 3M slabs
+# OOMed the 16M limit on real Mosaic (18.97M measured at th=26, C=128);
+# 1M keeps the worst case ~8M.
+_SLAB_BUDGET_BYTES = 1024 * 1024
 
 
 def _sublane_align(itemsize: int) -> int:
