@@ -54,6 +54,83 @@ def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
     )
 
 
+def _extract_2x_taps(wmat: np.ndarray):
+    """For an exact-2x upsample whose 2-tap pattern is stationary with
+    period 2 — even output row 2m reads input rows (m-1, m), odd row 2m+1
+    reads (m, m+1) — return the per-row first-tap weights (w_even, w_odd),
+    else None.
+
+    Both torch conventions have this structure at out == 2*in:
+    align_corners=True (lo(2m) = m-1 for m>=1, lo(2m+1) = m) and
+    half-pixel (src = m -/+ 0.25). Edges rely on w_even[0] == 0 and
+    w_odd[-1] == 1 so the out-of-range tap carries zero weight; verified
+    here rather than assumed.
+    """
+    out_size, in_size = wmat.shape
+    if out_size != 2 * in_size or in_size < 2:
+        return None
+    m = np.arange(in_size)
+    w_even = np.where(m >= 1, wmat[2 * m, np.maximum(m - 1, 0)], 0.0)
+    w_odd = wmat[2 * m + 1, m]
+    check = np.zeros_like(wmat)
+    check[2 * m, np.maximum(m - 1, 0)] += w_even
+    check[2 * m, m] += 1.0 - w_even
+    check[2 * m + 1, m] += w_odd
+    check[2 * m + 1, np.minimum(m + 1, in_size - 1)] += 1.0 - w_odd
+    if not np.allclose(check, wmat, atol=1e-6):
+        return None  # pragma: no cover - defensive; both conventions match
+    return (w_even.astype(np.float32), w_odd.astype(np.float32))
+
+
+def _upsample2x_axis(y: jnp.ndarray, axis: int, taps) -> jnp.ndarray:
+    """Stationary 2-tap 2x upsample along `axis` via shifted FMAs + an
+    interleaving reshape — pure VPU work, no MXU matmul. `y` is f32."""
+    w_even, w_odd = taps
+    n = y.shape[axis]
+    shape = [1] * y.ndim
+    shape[axis] = n
+    we = jnp.asarray(w_even).reshape(shape)
+    wo = jnp.asarray(w_odd).reshape(shape)
+    prev_sl = [slice(None)] * y.ndim
+    prev_sl[axis] = slice(0, 1)
+    head = y[tuple(prev_sl)]
+    prev_sl[axis] = slice(0, n - 1)
+    y_prev = jnp.concatenate([head, y[tuple(prev_sl)]], axis=axis)
+    next_sl = [slice(None)] * y.ndim
+    next_sl[axis] = slice(1, n)
+    tail_sl = [slice(None)] * y.ndim
+    tail_sl[axis] = slice(n - 1, n)
+    y_next = jnp.concatenate([y[tuple(next_sl)], y[tuple(tail_sl)]], axis=axis)
+    even = we * y_prev + (1.0 - we) * y
+    odd = wo * y + (1.0 - wo) * y_next
+    out = jnp.stack([even, odd], axis=axis + 1)
+    out_shape = list(y.shape)
+    out_shape[axis] = 2 * n
+    return out.reshape(out_shape)
+
+
+def _try_upsample2x(x, out_h, out_w, weight_builder):
+    """The decoder's in-model bf16 upsamples are exact 2x on both axes
+    (up2..up4 at 416x544: 26x34 -> ... -> 208x272) — the dominant resize
+    cost. The dense separable matmul spends ~545 GFLOP/step of MXU work on
+    2-tap kernels at the flagship shape (probe_pw_resize.py: a take-based
+    gather form loses 14x, so banded tricks via gather are out); this
+    stationary-pattern form needs ~4 VPU FLOPs per output element instead.
+    bf16-only: f32 parity paths keep the HIGHEST-precision matmuls that
+    reference parity was proven with.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    if x.dtype != jnp.bfloat16 or out_h != 2 * h or out_w != 2 * w:
+        return None
+    taps_h = _extract_2x_taps(weight_builder(h, out_h))
+    taps_w = _extract_2x_taps(weight_builder(w, out_w))
+    if taps_h is None or taps_w is None:  # pragma: no cover - defensive
+        return None
+    y = _upsample2x_axis(x.astype(jnp.float32), x.ndim - 3, taps_h)
+    y = _upsample2x_axis(y, x.ndim - 2, taps_w)
+    return y.astype(x.dtype)
+
+
 def resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     """Bilinear align_corners=True resize of NHWC (or HWC / NCHW-agnostic axes).
 
@@ -67,6 +144,9 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     h, w = x.shape[-3], x.shape[-2]
     if (h, w) == (out_h, out_w):
         return x
+    fast2x = _try_upsample2x(x, out_h, out_w, _linear_weights_align_corners)
+    if fast2x is not None:
+        return fast2x
     dtype = x.dtype
     wh = jnp.asarray(_linear_weights_align_corners(h, out_h), dtype=jnp.float32)
     ww = jnp.asarray(_linear_weights_align_corners(w, out_w), dtype=jnp.float32)
@@ -127,6 +207,9 @@ def resize_bilinear_half_pixel(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     h, w = x.shape[-3], x.shape[-2]
     if (h, w) == (out_h, out_w):
         return x
+    fast2x = _try_upsample2x(x, out_h, out_w, _linear_weights_half_pixel)
+    if fast2x is not None:
+        return fast2x
     dtype = x.dtype
     wh = jnp.asarray(_linear_weights_half_pixel(h, out_h))
     ww = jnp.asarray(_linear_weights_half_pixel(w, out_w))

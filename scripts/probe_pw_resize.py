@@ -53,13 +53,14 @@ def pw_pair(name, cin, cout):
 
     for tag, fn in (("pwc", conv), ("pwm", matmul)):
         def fwd(c, x, w, fn=fn):
-            return jnp.sum(fn(x + c * 1e-30, w).astype(jnp.float32)) * 1e-30
+            return jnp.sum(fn((x + c * 1e-30).astype(DT), w)
+                           .astype(jnp.float32)) * 1e-30
 
         def fg(c, x, w, fn=fn):
             def loss(x, w):
                 return jnp.sum(fn(x, w).astype(jnp.float32))
             v, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(
-                x + c * 1e-30, w)
+                (x + c * 1e-30).astype(DT), w)
             return (v + jnp.sum(gx.astype(jnp.float32))
                     + jnp.sum(gw.astype(jnp.float32))) * 1e-30
 
@@ -98,7 +99,19 @@ def resize_pair():
     err = float(np.max(np.abs(ref - got)))
     print(json.dumps({"resize_forms_max_abs_diff": err}), flush=True)
 
-    for tag, fn in (("rsz_matmul", resize_bilinear_align_corners),
+    # dense separable matmul pinned (the public fn now routes exact-2x bf16
+    # to the interleave path, so call the matmul core directly for the A leg)
+    from mde_tpu.ops.resize import _separable_matmuls
+
+    def dense_matmul(x, out_hw):
+        wh = jnp.asarray(_linear_weights_align_corners(x.shape[-3], out_hw[0]))
+        ww = jnp.asarray(_linear_weights_align_corners(x.shape[-2], out_hw[1]))
+        y = _separable_matmuls(wh, ww, x.astype(jnp.float32),
+                               jax.lax.Precision.DEFAULT)
+        return y.astype(x.dtype)
+
+    for tag, fn in (("rsz_matmul", dense_matmul),
+                    ("rsz_interleave", resize_bilinear_align_corners),
                     ("rsz_take", take2tap)):
         def fwd(c, x, fn=fn):
             return jnp.sum(fn(x + c * 1e-30, out_hw).astype(jnp.float32)) * 1e-30

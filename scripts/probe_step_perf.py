@@ -41,6 +41,14 @@ def run_variant(name, batch_size, shape=None, **over):
 
     from mde_tpu.cues import InstanceEmbedder, SemanticsEmbedder
 
+    # pin/restore the resize formulation per-variant (in-process A/B of the
+    # interleave-upsample path, ops/resize.py::_try_upsample2x)
+    import mde_tpu.ops.resize as _rsz
+    if not hasattr(_rsz, "_orig_try_upsample2x"):
+        _rsz._orig_try_upsample2x = _rsz._try_upsample2x
+    _rsz._try_upsample2x = (
+        (lambda *a, **k: None) if over.pop("disable_interleave_resize", False)
+        else _rsz._orig_try_upsample2x)
     args = make_args(**over)
     mesh = make_mesh()
     model = build_model(args, dtype=jnp.bfloat16, mesh=mesh)
@@ -184,6 +192,13 @@ VARIANTS = {
                           dw_impl="pallas")),
     "dwp_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
                           dw_impl="pallas")),
+    # interleave-upsample A/B: dense separable-matmul resize pinned (A leg);
+    # plain both_bs16/both_bs32 are the B leg with the fast path on
+    "noilv_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
+                            disable_interleave_resize=True)),
+    "both_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True)),
+    "noilv_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
+                            disable_interleave_resize=True)),
     # the reference's *default* encoder is efficientnet-b5
     # (CommonArgParser.py default) — the published AdaBins flagship
     "b5_bs8": (8, dict(encoder_name="efficientnet-b5", use_fused_head=True,
