@@ -206,6 +206,15 @@ class TrainArgParser(CommonArgParser):
         self.add_argument('--dw_impl', default='conv',
                           choices=['conv', 'shifts', 'pallas'],
                           help='encoder depthwise conv lowering')
+        # TPU-native extension: encoder pointwise (1x1) conv lowering.
+        # 'matmul' expresses each 1x1 conv as an explicit flattened
+        # dot_general whose backward is two clean matmuls (the 16x16
+        # patch-embed conv backward was 16x off through XLA's
+        # conv-backprop path — models/mvit.py::PatchEmbed). Checkpoints
+        # are interchangeable between the two lowerings.
+        self.add_argument('--pw_impl', default='conv',
+                          choices=['conv', 'matmul'],
+                          help='encoder pointwise conv lowering')
 
 
 class EvalArgParser(CommonArgParser):

@@ -146,6 +146,41 @@ def _dw_conv(kernel: int, stride: int, dtype, dw_impl: str, chs: int):
                    dtype=dtype)
 
 
+class PointwiseConv(nn.Module):
+    """1x1 conv as an explicit flattened matmul (opt-in via --pw_impl matmul).
+
+    XLA:TPU's conv-backprop paths can lose badly to the equivalent explicit
+    dot_general (the 16x16 patch-embed conv backward was 16x off — see
+    models/mvit.py::PatchEmbed); MBConv blocks are dominated by 1x1 convs,
+    so this expresses them as `reshape(N*H*W, Cin) @ W` whose backward is
+    two clean matmuls (dy @ W^T and x^T @ dy). Parameter name ('kernel'),
+    shape (1, 1, Cin, Cout) and initializer match
+    nn.Conv(use_bias=False) exactly, so checkpoints are interchangeable
+    with the conv path and the torch converter needs no changes.
+    """
+    out_chs: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, cin, self.out_chs))
+        w = kernel.reshape(cin, self.out_chs).astype(self.dtype)
+        y = jax.lax.dot_general(
+            x.astype(self.dtype).reshape(-1, cin), w,
+            (((1,), (0,)), ((), ())))
+        return y.reshape(*x.shape[:-1], self.out_chs)
+
+
+def _pw_conv(out_chs, dtype, impl: str, name: str):
+    """conv_pw/conv_pwl/conv_head factory: lax 1x1 conv or explicit matmul.
+    Both paths share parameter layout; `impl` only changes the lowering."""
+    if impl == "matmul":
+        return PointwiseConv(out_chs, dtype=dtype, name=name)
+    return nn.Conv(out_chs, (1, 1), use_bias=False, name=name, dtype=dtype)
+
+
 class SqueezeExcite(nn.Module):
     """SE gate; reduction is computed from the block *input* channels
     (gen-efficientnet convention), passed in as reduced_chs."""
@@ -170,6 +205,7 @@ class DepthwiseSeparableBlock(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
     dw_impl: str = "conv"          # "conv" (lax grouped conv) | "shifts"
+    pw_impl: str = "conv"          # "conv" (lax 1x1 conv) | "matmul"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -181,8 +217,7 @@ class DepthwiseSeparableBlock(nn.Module):
                          momentum=0.99, name="bn1", dtype=jnp.float32)(y)
         y = nn.silu(y.astype(self.dtype))
         y = SqueezeExcite(self.se_reduced_chs, dtype=self.dtype, name="se")(y)
-        y = nn.Conv(self.out_chs, (1, 1), use_bias=False, name="conv_pw",
-                    dtype=self.dtype)(y)
+        y = _pw_conv(self.out_chs, self.dtype, self.pw_impl, "conv_pw")(y)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn2", dtype=jnp.float32)(y).astype(self.dtype)
         if self.stride == 1 and in_chs == self.out_chs:
@@ -201,6 +236,7 @@ class InvertedResidualBlock(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
     dw_impl: str = "conv"          # "conv" (lax grouped conv) | "shifts"
+    pw_impl: str = "conv"          # "conv" (lax 1x1 conv) | "matmul"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -208,7 +244,7 @@ class InvertedResidualBlock(nn.Module):
         in_chs = x.shape[-1]
         mid_chs = in_chs * self.expand_ratio
 
-        y = nn.Conv(mid_chs, (1, 1), use_bias=False, name="conv_pw", dtype=self.dtype)(x)
+        y = _pw_conv(mid_chs, self.dtype, self.pw_impl, "conv_pw")(x)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn1", dtype=jnp.float32)(y)
         y = nn.silu(y.astype(self.dtype))
@@ -221,7 +257,7 @@ class InvertedResidualBlock(nn.Module):
 
         y = SqueezeExcite(self.se_reduced_chs, dtype=self.dtype, name="se")(y)
 
-        y = nn.Conv(self.out_chs, (1, 1), use_bias=False, name="conv_pwl", dtype=self.dtype)(y)
+        y = _pw_conv(self.out_chs, self.dtype, self.pw_impl, "conv_pwl")(y)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn3", dtype=jnp.float32)(y).astype(self.dtype)
 
@@ -249,6 +285,7 @@ class EfficientNetEncoder(nn.Module):
     remat: bool = False
     dtype: Any = jnp.float32
     dw_impl: str = "conv"          # "conv" (lax grouped conv) | "shifts"
+    pw_impl: str = "conv"          # "conv" (lax 1x1 conv) | "matmul"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
@@ -287,15 +324,15 @@ class EfficientNetEncoder(nn.Module):
                 if expand == 1:
                     y = ds_cls(out_chs, kernel, s, se_reduced,
                                dp_rate, self.dtype, self.dw_impl,
-                               name=name)(y, train)
+                               self.pw_impl, name=name)(y, train)
                 else:
                     y = ir_cls(out_chs, kernel, s, expand, se_reduced,
                                dp_rate, self.dtype, self.dw_impl,
-                               name=name)(y, train)
+                               self.pw_impl, name=name)(y, train)
                 block_idx += 1
             features.append(y)
 
-        y = nn.Conv(head_chs, (1, 1), use_bias=False, name="conv_head", dtype=self.dtype)(y)
+        y = _pw_conv(head_chs, self.dtype, self.pw_impl, "conv_head")(y)
         features.append(y)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn2", dtype=jnp.float32)(y)

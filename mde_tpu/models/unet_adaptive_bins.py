@@ -102,6 +102,7 @@ class UnetAdaptiveBins(nn.Module):
     image: str = "rgb"
     remat: str = "none"            # "none" | "encoder" — activation ckpt policy
     dw_impl: str = "conv"          # encoder depthwise convs: "conv" | "shifts"
+    pw_impl: str = "conv"          # encoder 1x1 convs: "conv" | "matmul"
     fused_head: bool = False       # Pallas conv+softmax+centers head (TPU only)
     mesh: Any = None               # device mesh; shard_maps the fused head
     # over its 'data' axis (GSPMD can't partition a Mosaic custom call)
@@ -158,6 +159,7 @@ class UnetAdaptiveBins(nn.Module):
         features = EfficientNetEncoder(self._arch(), dtype=self.dtype,
                                        remat=self.remat == "encoder",
                                        dw_impl=self.dw_impl,
+                                       pw_impl=self.pw_impl,
                                        name="encoder")(x.astype(self.dtype), train=train)
         num_features = 2048 if self._arch() == "efficientnet-b5" else 1280
         unet_out = DecoderBN(num_features=num_features, num_classes=128,
@@ -279,6 +281,7 @@ def build_model(args, n_bins=None, dtype=jnp.float32, mesh=None) -> UnetAdaptive
         image=args.image,
         remat=getattr(args, "remat", "none") or "none",
         dw_impl=_resolve_dw_impl(args, mesh),
+        pw_impl=getattr(args, "pw_impl", "conv") or "conv",
         fused_head=_fused_head_available(args, mesh),
         mesh=mesh,
         dtype=dtype,

@@ -109,17 +109,28 @@ def _upsample2x_axis(y: jnp.ndarray, axis: int, taps) -> jnp.ndarray:
     return out.reshape(out_shape)
 
 
+# Measured verdict (2026-08-18, stamps 110-112 TFLOP/s): the interleave
+# form LOSES 24-28% end-to-end at the flagship operating points
+# (probe_step_perf noilv_bs16 125.9 ms vs both_bs16 156.6; bs32 237.3 vs
+# 303.4). Saving the 2-tap matmul FLOPs doesn't pay for the stack+reshape
+# relayout the VPU form needs — the MXU resize is effectively free next to
+# it. Kept OFF; flip for re-A/B only (tests exercise the path directly).
+INTERLEAVE_2X = False
+
+
 def _try_upsample2x(x, out_h, out_w, weight_builder):
-    """The decoder's in-model bf16 upsamples are exact 2x on both axes
-    (up2..up4 at 416x544: 26x34 -> ... -> 208x272) — the dominant resize
-    cost. The dense separable matmul spends ~545 GFLOP/step of MXU work on
-    2-tap kernels at the flagship shape (probe_pw_resize.py: a take-based
-    gather form loses 14x, so banded tricks via gather are out); this
-    stationary-pattern form needs ~4 VPU FLOPs per output element instead.
-    bf16-only: f32 parity paths keep the HIGHEST-precision matmuls that
-    reference parity was proven with.
+    """Exact-2x bf16 upsample as stationary 2-tap shifted FMAs + an
+    interleaving reshape (~4 VPU FLOPs/output element vs the dense
+    separable matmul's ~545 GFLOP/step of 2-tap MXU work at the flagship
+    shape). A take-based gather form loses 14x (probe_pw_resize.py), and
+    THIS form loses 24-28% in-step (see INTERLEAVE_2X above) — the dense
+    matmul stays the production lowering; this path is the documented
+    experiment. bf16-only: f32 parity paths keep the HIGHEST-precision
+    matmuls that reference parity was proven with.
     """
     h, w = x.shape[-3], x.shape[-2]
+    if not INTERLEAVE_2X:
+        return None
     if x.dtype != jnp.bfloat16 or out_h != 2 * h or out_w != 2 * w:
         return None
     taps_h = _extract_2x_taps(weight_builder(h, out_h))

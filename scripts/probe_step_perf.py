@@ -41,14 +41,10 @@ def run_variant(name, batch_size, shape=None, **over):
 
     from mde_tpu.cues import InstanceEmbedder, SemanticsEmbedder
 
-    # pin/restore the resize formulation per-variant (in-process A/B of the
-    # interleave-upsample path, ops/resize.py::_try_upsample2x)
+    # per-variant pin of the interleave-upsample experiment (default OFF in
+    # production — it lost 24-28% in-step; ops/resize.py::INTERLEAVE_2X)
     import mde_tpu.ops.resize as _rsz
-    if not hasattr(_rsz, "_orig_try_upsample2x"):
-        _rsz._orig_try_upsample2x = _rsz._try_upsample2x
-    _rsz._try_upsample2x = (
-        (lambda *a, **k: None) if over.pop("disable_interleave_resize", False)
-        else _rsz._orig_try_upsample2x)
+    _rsz.INTERLEAVE_2X = over.pop("interleave_resize", False)
     args = make_args(**over)
     mesh = make_mesh()
     model = build_model(args, dtype=jnp.bfloat16, mesh=mesh)
@@ -192,13 +188,21 @@ VARIANTS = {
                           dw_impl="pallas")),
     "dwp_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
                           dw_impl="pallas")),
-    # interleave-upsample A/B: dense separable-matmul resize pinned (A leg);
-    # plain both_bs16/both_bs32 are the B leg with the fast path on
-    "noilv_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
-                            disable_interleave_resize=True)),
+    # interleave-upsample A/B (MEASURED 2026-08-18: interleave LOSES — bs16
+    # 125.88 vs 156.61 ms, bs32 237.31 vs 303.36, stamps 110-112; the
+    # stack+reshape relayout outweighs the saved 2-tap matmul FLOPs)
     "both_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True)),
-    "noilv_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
-                            disable_interleave_resize=True)),
+    "ilv_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
+                          interleave_resize=True)),
+    "ilv_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
+                          interleave_resize=True)),
+    # pointwise-conv-as-matmul A/B (--pw_impl matmul): MBConv 1x1 convs as
+    # explicit dot_general; the conv-backprop lowering was 6x off the HBM
+    # bound at the 16->96 208x272 site (probe_encoder_bisect)
+    "pwm_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
+                          pw_impl="matmul")),
+    "pwm_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
+                          pw_impl="matmul")),
     # the reference's *default* encoder is efficientnet-b5
     # (CommonArgParser.py default) — the published AdaBins flagship
     "b5_bs8": (8, dict(encoder_name="efficientnet-b5", use_fused_head=True,

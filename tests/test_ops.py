@@ -36,15 +36,20 @@ def test_bilinear_align_corners_matches_torch(in_hw, out_hw, c):
     np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
 
 
-# The bf16 exact-2x upsample takes the stationary-2-tap interleave path
-# (ops/resize.py::_try_upsample2x — zero MXU FLOPs); verify it against torch
-# for BOTH conventions, at odd sizes (edge rows exercise the clip handling),
-# and that its VJP matches the dense-matmul form's.
+# The bf16 exact-2x stationary-2-tap interleave path (ops/resize.py::
+# _try_upsample2x — zero MXU FLOPs) is a default-OFF experiment (it loses
+# 24-28% in-step; see INTERLEAVE_2X). Still verify it against torch for
+# BOTH conventions, at odd sizes (edge rows exercise the clip handling),
+# and that its VJP matches the dense-matmul form's, so a re-A/B stays a
+# one-line flag flip.
 @pytest.mark.parametrize("mode", ["align_corners", "half_pixel"])
 @pytest.mark.parametrize("c", [3, 1])
 @pytest.mark.parametrize("in_hw", [(13, 17), (26, 34), (104, 136)])
-def test_upsample2x_interleave_matches_torch(mode, c, in_hw):
+def test_upsample2x_interleave_matches_torch(mode, c, in_hw, monkeypatch):
+    import mde_tpu.ops.resize as rsz
     from mde_tpu.ops.resize import resize_bilinear_half_pixel, _try_upsample2x
+
+    monkeypatch.setattr(rsz, "INTERLEAVE_2X", True)
 
     rng = np.random.default_rng(7)
     out_hw = (2 * in_hw[0], 2 * in_hw[1])
@@ -67,9 +72,12 @@ def test_upsample2x_interleave_matches_torch(mode, c, in_hw):
     assert _try_upsample2x(xb, *out_hw, builder) is not None
 
 
-def test_upsample2x_interleave_grad_matches_dense():
+def test_upsample2x_interleave_grad_matches_dense(monkeypatch):
     import jax
+    import mde_tpu.ops.resize as rsz
     from mde_tpu.ops.resize import _separable_matmuls, _linear_weights_align_corners
+
+    monkeypatch.setattr(rsz, "INTERLEAVE_2X", True)
 
     rng = np.random.default_rng(8)
     x = rng.standard_normal((2, 13, 17, 3), dtype=np.float32)
