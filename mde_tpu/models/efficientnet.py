@@ -157,6 +157,11 @@ class PointwiseConv(nn.Module):
     shape (1, 1, Cin, Cout) and initializer match
     nn.Conv(use_bias=False) exactly, so checkpoints are interchangeable
     with the conv path and the torch converter needs no changes.
+
+    MEASURED VERDICT (2026-08-18, stamps 106-112): no in-step win — bs16
+    126.32 (conv) vs 127.38 ms (matmul), bs32 235.70 vs 250.42. XLA already
+    lowers in-graph 1x1 convs to efficient dots; the patch-embed pathology
+    was specific to strided dense-dilated input-grads. Default stays 'conv'.
     """
     out_chs: int
     dtype: Any = jnp.float32

@@ -196,9 +196,9 @@ VARIANTS = {
                           interleave_resize=True)),
     "ilv_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
                           interleave_resize=True)),
-    # pointwise-conv-as-matmul A/B (--pw_impl matmul): MBConv 1x1 convs as
-    # explicit dot_general; the conv-backprop lowering was 6x off the HBM
-    # bound at the 16->96 208x272 site (probe_encoder_bisect)
+    # pointwise-conv-as-matmul A/B (--pw_impl matmul). MEASURED 2026-08-18:
+    # bs16 parity (126.32 conv / 127.38 matmul), bs32 LOSES 6% (235.70 /
+    # 250.42) — XLA lowers in-step 1x1 convs well; 'conv' stays default
     "pwm_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
                           pw_impl="matmul")),
     "pwm_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,

@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=20)
     ap.add_argument("--save-every", type=int, default=2000)
+    ap.add_argument("--max-steps", type=int, default=0,
+                    help="stop after N optimizer steps (0 = run all epochs); "
+                         "smoke runs and budgeted jobs")
+    ap.add_argument("--max-gt", type=int, default=100,
+                    help="static GT padding capacity per image")
     args = ap.parse_args()
 
     import jax
@@ -59,7 +64,7 @@ def main():
     model = CascadeMaskRCNN(num_classes=args.num_classes, dtype=jnp.bfloat16,
                             use_checkpoint=True)
     rng = np.random.default_rng(args.seed)
-    sample = ds.train_sample(rng, 0)
+    sample = ds.train_sample(rng, 0, max_gt=args.max_gt)
     variables = model.init({"params": jax.random.PRNGKey(args.seed)},
                            jnp.asarray(sample["image"][None]))
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
@@ -99,10 +104,11 @@ def main():
     key = jax.random.PRNGKey(args.seed + 1)
     step = 0
     t0 = time.time()
+    done = False
     for epoch in range(args.epochs):
         order = rng.permutation(len(ds))
         for idx in order:
-            sample = ds.train_sample(rng, int(idx))
+            sample = ds.train_sample(rng, int(idx), max_gt=args.max_gt)
             batch = {k: jnp.asarray(v) for k, v in sample.items() if k != "valid_hw"}
             state, losses = train_step(state, batch, tuple(sample["valid_hw"]),
                                        jax.random.fold_in(key, step))
@@ -113,7 +119,12 @@ def main():
                       f"({step / (time.time() - t0):.2f} it/s)")
             if step % args.save_every == 0:
                 save_checkpoint(state, epoch, f"detector_step{step}", root=args.out)
+            if args.max_steps and step >= args.max_steps:
+                done = True
+                break
         save_checkpoint(state, epoch, "detector_latest", root=args.out)
+        if done:
+            break
     print("done")
 
 
