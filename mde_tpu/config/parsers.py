@@ -215,6 +215,15 @@ class TrainArgParser(CommonArgParser):
         self.add_argument('--pw_impl', default='conv',
                           choices=['conv', 'matmul'],
                           help='encoder pointwise conv lowering')
+        # TPU-native extension: compute the encoder's high-res low-channel
+        # stage-0 blocks in a W-packed lane layout (4 W pixels share the
+        # 128-lane tile, so BN/SE/elementwise traffic runs at full lane
+        # density instead of C/128, and the depthwise conv becomes an
+        # equivalent dense MXU conv — models/efficientnet.py::PackedDSBlock).
+        # Same params, same math; checkpoints are interchangeable.
+        self.add_argument('--hires_impl', default='native',
+                          choices=['native', 'packed'],
+                          help='encoder stage-0 layout')
 
 
 class EvalArgParser(CommonArgParser):

@@ -103,6 +103,7 @@ class UnetAdaptiveBins(nn.Module):
     remat: str = "none"            # "none" | "encoder" — activation ckpt policy
     dw_impl: str = "conv"          # encoder depthwise convs: "conv" | "shifts"
     pw_impl: str = "conv"          # encoder 1x1 convs: "conv" | "matmul"
+    hires_impl: str = "native"     # encoder stage-0 layout: "native" | "packed"
     fused_head: bool = False       # Pallas conv+softmax+centers head (TPU only)
     mesh: Any = None               # device mesh; shard_maps the fused head
     # over its 'data' axis (GSPMD can't partition a Mosaic custom call)
@@ -160,6 +161,7 @@ class UnetAdaptiveBins(nn.Module):
                                        remat=self.remat == "encoder",
                                        dw_impl=self.dw_impl,
                                        pw_impl=self.pw_impl,
+                                       hires_impl=self.hires_impl,
                                        name="encoder")(x.astype(self.dtype), train=train)
         num_features = 2048 if self._arch() == "efficientnet-b5" else 1280
         unet_out = DecoderBN(num_features=num_features, num_classes=128,
@@ -282,6 +284,7 @@ def build_model(args, n_bins=None, dtype=jnp.float32, mesh=None) -> UnetAdaptive
         remat=getattr(args, "remat", "none") or "none",
         dw_impl=_resolve_dw_impl(args, mesh),
         pw_impl=getattr(args, "pw_impl", "conv") or "conv",
+        hires_impl=getattr(args, "hires_impl", "native") or "native",
         fused_head=_fused_head_available(args, mesh),
         mesh=mesh,
         dtype=dtype,

@@ -215,6 +215,17 @@ VARIANTS = {
     "both_bs48": (48, dict(use_fused_head=True, use_pallas_chamfer=True)),
     "both+remat_bs48": (48, dict(use_fused_head=True, use_pallas_chamfer=True,
                                  remat="encoder")),
+    # W-packed lane layout for encoder stage 0 (--hires_impl packed,
+    # models/efficientnet.py::PackedDSBlock): full 128-lane density on the
+    # C=32@208x272 blocks that the encoder bisect put ~20x off their HBM
+    # bound (CLAUDE.md 2026-08-18)
+    "hires_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
+                            hires_impl="packed")),
+    "hires_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
+                            hires_impl="packed")),
+    "b5_hires_bs8": (8, dict(encoder_name="efficientnet-b5",
+                             use_fused_head=True, use_pallas_chamfer=True,
+                             hires_impl="packed")),
 }
 
 
