@@ -40,7 +40,11 @@ def _save_prediction(final_hw: np.ndarray, image_path: str, args):
 
 def evaluate(args, state=None, max_batches=None):
     """Run the official-split eval; prints and returns the rounded metrics."""
-    model = build_model(args, dtype=jnp.float32)
+    # float32 default (reference eval parity); --compute_dtype bfloat16 is the
+    # serving-throughput opt-in (EvalArgParser sets the eval default).
+    dtype = jnp.bfloat16 \
+        if getattr(args, "compute_dtype", "float32") == "bfloat16" else jnp.float32
+    model = build_model(args, dtype=dtype)
     sem_embedder = SemanticsEmbedder(args) if args.use_semantics else None
     inst_embedder = InstanceEmbedder(args) if args.use_instance_segmentation else None
 

@@ -178,6 +178,9 @@ def make_eval_step(model, args, sem_embedder, inst_embedder):
         _, pred = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["image"], semantics, instance_labels, instance_areas, train=False)
+        # metric math stays f32 even when the model computes in bf16
+        # (--compute_dtype bfloat16, the serving-throughput opt-in)
+        pred = pred.astype(jnp.float32)
         depth = batch["depth"]
 
         pred = resize_bilinear_align_corners(pred, depth.shape[1:3])
