@@ -162,7 +162,11 @@ def main():
         use_instance_segmentation=None, insertion_point="before-attn",
         image="rgb", w_chamfer=0.1, chamfer=True, epochs=25, lr=0.000357,
         wd=0.1, div_factor=25.0, final_div_factor=100.0, same_lr=False,
-        seed=0, use_fused_head=True, use_pallas_chamfer=True)
+        seed=0, use_fused_head=True, use_pallas_chamfer=True,
+        # W-packed stage-0 lane layout: measured in-step win at every
+        # operating point (2026-08-19, stamps 106-107): bs16 125.2->113.2 ms,
+        # bs32 237.0->223.9 ms, B5 bs8 98.4->94.0 ms.
+        hires_impl="packed")
 
     mesh = make_mesh()
     _backend_up.set()

@@ -79,6 +79,27 @@ def _get_by_path(tree, path):
     return node
 
 
+def test_packed_stage0_under_dp_mesh():
+    """GSPMD batch-sharding composes with the packed layout: the packed
+    encoder jitted over the 8-device DP mesh matches the single-device
+    forward (the pack/unpack reshapes keep the batch axis leading, so the
+    data-axis partition passes straight through)."""
+    from mde_tpu.parallel import make_mesh, batch_sharding, replicated_sharding
+
+    _, pk = _encoders("efficientnet-b1")
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((8, 64, 96, 3), np.float32))
+    v = pk.init({"params": jax.random.PRNGKey(0)}, x, False)
+    ref = pk.apply(v, x, False)[-1]
+
+    mesh = make_mesh()
+    xs = jax.device_put(x, batch_sharding(mesh))
+    vs = jax.device_put(v, replicated_sharding(mesh))
+    out = jax.jit(lambda v, x: pk.apply(v, x, False)[-1])(vs, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_packed_stage0_grad_parity():
     nat, pk = _encoders("efficientnet-b1")
     x = jnp.asarray(
