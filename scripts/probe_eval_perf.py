@@ -28,14 +28,19 @@ def main():
 
     bs = int(os.environ.get("PROBE_BS", "8"))
     h, w = 480, 640
+    # PROBE_DTYPE=float32 measures the reference-parity eval default;
+    # bfloat16 is the --compute_dtype serving opt-in. PROBE_HIRES=packed
+    # adds the W-packed stage-0 layout to the serving config.
+    cdt = jnp.float32 if os.environ.get("PROBE_DTYPE") == "float32" else jnp.bfloat16
     args = types.SimpleNamespace(
         n_bins=256, min_depth=1e-3, max_depth=10.0, norm="linear",
         encoder_name="efficientnet-b1", use_semantics=None,
         use_instance_segmentation=None, insertion_point="before-attn",
         image="rgb", remat="none", use_fused_head=False,
         min_depth_eval=1e-3, max_depth_eval=10.0, dataset="nyu",
-        garg_crop=False, eigen_crop=True)
-    model = build_model(args, dtype=jnp.bfloat16)
+        garg_crop=False, eigen_crop=True,
+        hires_impl=os.environ.get("PROBE_HIRES", "native"))
+    model = build_model(args, dtype=cdt)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.standard_normal((bs, h, w, 3), dtype=np.float32))
     depth = jnp.asarray(rng.random((bs, h, w, 1), dtype=np.float32) * 9.9 + 0.05)
@@ -64,7 +69,7 @@ def main():
     acc, rels = run_n(variables, batch, ITERS)
     _ = float(rels[-1])
     dt = (time.time() - t0) / ITERS
-    print(json.dumps({"metric": "eval step img/s (480x640 bf16, fwd + metrics)",
+    print(json.dumps({"metric": "eval step img/s (480x640, fwd + metrics)", "dtype": str(cdt.__name__), "hires": args.hires_impl,
                       "img_per_sec": round(bs / dt, 1),
                       "ms_per_step": round(1e3 * dt, 2), "bs": bs,
                       "compile_s": round(compile_s, 1)}))

@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
+
+torch = pytest.importorskip("torch")  # skip cleanly where torch is absent
 
 from mde_tpu.models import UnetAdaptiveBins
 from mde_tpu.models.efficientnet import (_B0_STAGES, EFFICIENTNET_CONFIGS,

@@ -7,7 +7,7 @@ import types
 
 import numpy as np
 import pytest
-import torch  # noqa: F401  (oracle in some tests)
+torch = pytest.importorskip("torch")  # noqa: F401  (oracle in some tests)
 from PIL import Image
 
 from mde_tpu.data import DepthDataLoader, DepthDataset

@@ -4,7 +4,9 @@ sampler, targets."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import torch
+import pytest
+
+torch = pytest.importorskip("torch")  # skip cleanly where torch is absent
 
 from mde_tpu.offline.detection_train import (bbox2delta, smooth_l1_loss, giou,
                                              giou_loss, softmax_ce_loss,

@@ -8,8 +8,9 @@ our TPU-first re-derivations reproduce the underlying torch operator math.
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
-import torch.nn.functional as F
+
+torch = pytest.importorskip("torch")  # skip cleanly where torch is absent
+import torch.nn.functional as F  # noqa: E402
 
 from mde_tpu.ops import (
     resize_bilinear_align_corners, resize_nearest,

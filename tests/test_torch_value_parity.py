@@ -11,8 +11,10 @@ composed here in the test, not copied from the reference.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import torch
-import torch.nn.functional as F
+import pytest
+
+torch = pytest.importorskip("torch")  # skip cleanly where torch is absent
+import torch.nn.functional as F  # noqa: E402
 
 from mde_tpu.models.mvit import TransformerEncoderLayer
 from mde_tpu.models.efficientnet import DepthwiseSeparableBlock, InvertedResidualBlock

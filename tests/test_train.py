@@ -8,7 +8,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
+
+torch = pytest.importorskip("torch")  # skip cleanly where torch is absent
 
 from mde_tpu.parallel import make_mesh, batch_sharding, replicated_sharding
 from mde_tpu.train.loop import make_train_step
