@@ -56,7 +56,7 @@ def grad_segment(name, module, x, extra=None, flag=True, flops=float("nan")):
     variables = module.init({"params": jax.random.PRNGKey(0),
                              "dropout": jax.random.PRNGKey(1)},
                             *inputs, flag)
-    params = variables["params"]
+    params = variables.get("params", {})
     stats = variables.get("batch_stats", {})
 
     def loss(params, *inputs):
