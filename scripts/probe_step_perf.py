@@ -45,6 +45,8 @@ def run_variant(name, batch_size, shape=None, **over):
     # production — it lost 24-28% in-step; ops/resize.py::INTERLEAVE_2X)
     import mde_tpu.ops.resize as _rsz
     _rsz.INTERLEAVE_2X = over.pop("interleave_resize", False)
+    _rsz.RESIZE_BF16_FUSED = over.pop("resize_bf16_fused",
+                                      _rsz.RESIZE_BF16_FUSED)
     args = make_args(**over)
     mesh = make_mesh()
     model = build_model(args, dtype=jnp.bfloat16, mesh=mesh)
@@ -219,6 +221,17 @@ VARIANTS = {
     # models/efficientnet.py::PackedDSBlock): full 128-lane density on the
     # C=32@208x272 blocks that the encoder bisect put ~20x off their HBM
     # bound (CLAUDE.md 2026-08-18)
+    # fused bf16 resize (ops/resize.py::RESIZE_BF16_FUSED): standalone win
+    # 5.08->4.42 / 6.02->5.53 ms over the 4-resize chain (probe_resize_impls
+    # 2026-08-19); in-step A/B vs the packed production tree
+    "rszf_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
+                           hires_impl="packed", resize_bf16_fused=True)),
+    "rszf_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
+                           hires_impl="packed", resize_bf16_fused=True)),
+    "rszf_off_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
+                               hires_impl="packed", resize_bf16_fused=False)),
+    "rszf_off_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
+                               hires_impl="packed", resize_bf16_fused=False)),
     "hires_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
                             hires_impl="packed")),
     "hires_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
