@@ -109,6 +109,27 @@ def _upsample2x_axis(y: jnp.ndarray, axis: int, taps) -> jnp.ndarray:
     return out.reshape(out_shape)
 
 
+# bf16 inputs: contract directly in bf16 with f32 accumulation via ONE
+# 3-operand einsum ('oh,pw,bhwc->bopc' — XLA picks the dot order) instead
+# of casting the input to f32 first. Standalone A/B at the decoder's four
+# upsample shapes (probe_resize_impls.py 2026-08-19, stamps 107-108):
+# f32cast 5.08/6.02 ms fwd / fwd+bwd vs bf16_one 4.42/5.53 — the f32 cast
+# materializes 2x the HBM bytes for arithmetic DEFAULT precision was going
+# to truncate to bf16 anyway. Same MXU math up to bf16 rounding of the
+# interpolation coefficients (measured 0.7% max rel vs the f32cast form).
+#
+# IN-STEP verdict (probe_step_perf rszf_* 2026-08-19 evening, stamps
+# 107.8/103.6): the fused form LOSES end-to-end at BOTH operating points —
+# bs16 117.33 ms vs 113.41 off, bs32 230.12 vs 225.28. The
+# standalone win doesn't survive in-step: XLA already fuses the f32 cast
+# into the producing op's epilogue inside the full program, so the 2x HBM
+# materialization the standalone microbench pays never happens there, while
+# the 3-operand einsum constrains the fusion choices around the resize.
+# Default stays OFF; f32 parity paths untouched. Same lesson as the
+# interleave-2x and pw_impl experiments below: standalone resize microbench
+# wins at these sizes do not transfer — only in-step A/Bs decide.
+RESIZE_BF16_FUSED = False
+
 # Measured verdict (2026-08-18, stamps 110-112 TFLOP/s): the interleave
 # form LOSES 24-28% end-to-end at the flagship operating points
 # (probe_step_perf noilv_bs16 125.9 ms vs both_bs16 156.6; bs32 237.3 vs
@@ -159,6 +180,8 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     if fast2x is not None:
         return fast2x
     dtype = x.dtype
+    if dtype == jnp.bfloat16 and RESIZE_BF16_FUSED:
+        return _fused_bf16_resize(x, out_h, out_w, _linear_weights_align_corners)
     wh = jnp.asarray(_linear_weights_align_corners(h, out_h), dtype=jnp.float32)
     ww = jnp.asarray(_linear_weights_align_corners(w, out_w), dtype=jnp.float32)
     xf = x.astype(jnp.float32)
@@ -174,6 +197,22 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
             else jax.lax.Precision.HIGHEST)
     y = _separable_matmuls(wh, ww, xf, prec)
     return y.astype(dtype)
+
+
+def _fused_bf16_resize(x, out_h, out_w, weight_builder):
+    """Both separable contractions in bf16 with f32 accumulation, no f32
+    input materialization (see RESIZE_BF16_FUSED above). C==1 inputs keep
+    the squeezed (H, W)-on-the-MXU layout of _separable_matmuls."""
+    h, w = x.shape[-3], x.shape[-2]
+    wh = jnp.asarray(weight_builder(h, out_h), dtype=jnp.bfloat16)
+    ww = jnp.asarray(weight_builder(w, out_w), dtype=jnp.bfloat16)
+    if x.shape[-1] == 1:
+        y = jnp.einsum('oh,pw,...hw->...op', wh, ww, x[..., 0],
+                       preferred_element_type=jnp.float32)
+        return y[..., None].astype(x.dtype)
+    y = jnp.einsum('oh,pw,...hwc->...opc', wh, ww, x,
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
 
 
 def _separable_matmuls(wh, ww, xf, prec):
@@ -222,6 +261,8 @@ def resize_bilinear_half_pixel(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     if fast2x is not None:
         return fast2x
     dtype = x.dtype
+    if dtype == jnp.bfloat16 and RESIZE_BF16_FUSED:
+        return _fused_bf16_resize(x, out_h, out_w, _linear_weights_half_pixel)
     wh = jnp.asarray(_linear_weights_half_pixel(h, out_h))
     ww = jnp.asarray(_linear_weights_half_pixel(w, out_w))
     xf = x.astype(jnp.float32)

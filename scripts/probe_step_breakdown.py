@@ -56,7 +56,10 @@ def make_args(**over):
         use_instance_segmentation=None, insertion_point="before-attn",
         image="rgb", w_chamfer=0.1, chamfer=True, epochs=25, lr=0.000357,
         wd=0.1, div_factor=25.0, final_div_factor=100.0, same_lr=False,
-        seed=0, remat="none", use_fused_head=False, use_pallas_chamfer=False)
+        seed=0, remat="none", use_fused_head=False, use_pallas_chamfer=False,
+        # production default (parser + bench.py) since 39c243c; HIRES=native
+        # to measure the unpacked layout
+        hires_impl=os.environ.get("HIRES", "packed"))
     if os.environ.get("PALLAS"):
         base.update(use_fused_head=True, use_pallas_chamfer=True)
     base.update(over)
