@@ -228,6 +228,15 @@ class TrainArgParser(CommonArgParser):
         self.add_argument('--hires_impl', default='packed',
                           choices=['native', 'packed'],
                           help='encoder stage-0 layout')
+        # TPU-native extension: fuse each decoder up-block's
+        # [bilinear upsample -> concat(skip) -> conv3x3] into one Mosaic
+        # kernel (kernels/up_block.py) that W-resizes rows in VMEM and never
+        # materializes the upsampled or concatenated tensor in HBM (up4
+        # alone moves ~900MB/step through HBM at bs16 on the native path).
+        # TPU-only; same params and math, checkpoints interchangeable.
+        self.add_argument('--up_impl', default='native',
+                          choices=['native', 'fused'],
+                          help='decoder up-block conv_a lowering')
 
 
 class EvalArgParser(CommonArgParser):

@@ -76,8 +76,33 @@ def r_bf16_one(x, oh, ow):
     return y.astype(x.dtype)
 
 
+def r_bf16_tr(x, oh, ow):
+    """W-resize as a MINOR-axis contraction: transpose C<->W so the dot
+    contracts the lane dim (one big clean matmul), then transpose back.
+    Hypothesis: the generic 'pw,bowc->bopc' form is slow because the
+    contraction runs over the second-minor axis with C on lanes (up4's
+    resize measured 8.12 ms vs a ~0.5 ms traffic bound)."""
+    wh, ww = weights(x.shape[1], oh, x.shape[2], ow, jnp.bfloat16)
+    y = jnp.einsum('oh,bhwc->bowc', wh, x,
+                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    yt = jnp.swapaxes(y, -1, -2)                      # (B, Ho, C, w)
+    z = jnp.einsum('pw,bhcw->bhcp', ww, yt,
+                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    return jnp.swapaxes(z, -1, -2).astype(x.dtype)
+
+
+def r_f32_tr(x, oh, ow):
+    """Same transposed W-contraction at production (f32cast) numerics."""
+    wh, ww = weights(x.shape[1], oh, x.shape[2], ow, jnp.float32)
+    xf = x.astype(jnp.float32)
+    y = jnp.einsum('oh,bhwc->bowc', wh, xf, precision=jax.lax.Precision.DEFAULT)
+    yt = jnp.swapaxes(y, -1, -2)
+    z = jnp.einsum('pw,bhcw->bhcp', ww, yt, precision=jax.lax.Precision.DEFAULT)
+    return jnp.swapaxes(z, -1, -2).astype(x.dtype)
+
+
 VARIANTS = {"f32cast": r_f32cast, "bf16": r_bf16, "bf16_wf": r_bf16_wf,
-            "bf16_one": r_bf16_one}
+            "bf16_one": r_bf16_one, "bf16_tr": r_bf16_tr, "f32_tr": r_f32_tr}
 
 
 def main():

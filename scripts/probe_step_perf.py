@@ -239,6 +239,21 @@ VARIANTS = {
     "b5_hires_bs8": (8, dict(encoder_name="efficientnet-b5",
                              use_fused_head=True, use_pallas_chamfer=True,
                              hires_impl="packed")),
+    # fused decoder up-block (--up_impl fused, kernels/up_block.py): one
+    # Mosaic kernel per UpSampleBN conv_a that W-resizes rows in VMEM and
+    # never materializes the upsampled/concatenated tensors in HBM
+    # (probe_decoder_bisect put up4 at 16.2 ms fwd vs a 3.7 ms FLOP bound)
+    "upf_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
+                          hires_impl="packed", up_impl="fused")),
+    "upf_off_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
+                              hires_impl="packed", up_impl="native")),
+    "upf_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
+                          hires_impl="packed", up_impl="fused")),
+    "upf_off_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
+                              hires_impl="packed", up_impl="native")),
+    "b5_upf_bs8": (8, dict(encoder_name="efficientnet-b5",
+                           use_fused_head=True, use_pallas_chamfer=True,
+                           hires_impl="packed", up_impl="fused")),
 }
 
 
