@@ -99,6 +99,40 @@ def convert_hrnet_encoder(sd: dict):
     return p, s
 
 
+def convert_resnet_encoder(sd: dict, basic: bool = False):
+    """torch CSAIL ResNet/ResNeXt state dict -> (params, batch_stats) for
+    semseg_zoo.ResNetEncoder.
+
+    Covers the deep 3x3x3 stem plus layer1..layer4 of both the bottleneck
+    form (mit_semseg/models/resnet.py) and the grouped GroupBottleneck form
+    (mit_semseg/models/resnext.py:23-59 — grouped conv weights are
+    (out, in/groups, kh, kw) in torch and (kh, kw, in/groups, out) in flax,
+    so the same transpose applies). ``basic=True`` maps resnet18's 2-conv
+    BasicBlock.
+    """
+    p, s = {}, {}
+    for i in (1, 2, 3):
+        p[f"stem_conv{i}"] = _conv(sd, f"conv{i}")
+        p[f"stem_bn{i}"], s[f"stem_bn{i}"] = _bn(sd, f"bn{i}")
+    for stage in range(1, 5):
+        b = 0
+        while f"layer{stage}.{b}.conv1.weight" in sd:
+            prefix = f"layer{stage}.{b}"
+            has_ds = f"{prefix}.downsample.0.weight" in sd
+            if basic:
+                bp, bs = _basic_block(sd, prefix)
+                if has_ds:
+                    bp["downsample_conv"] = _conv(sd, f"{prefix}.downsample.0")
+                    bp["downsample_bn"], bs["downsample_bn"] = _bn(
+                        sd, f"{prefix}.downsample.1")
+            else:
+                bp, bs = _bottleneck(sd, prefix, has_ds)
+            p[f"layer{stage}_block{b}"] = bp
+            s[f"layer{stage}_block{b}"] = bs
+            b += 1
+    return p, s
+
+
 def convert_hrnet_c1(encoder_path: str, decoder_path: str):
     """Paths to CSAIL encoder/decoder .pth -> full HRNetV2C1 (params, stats)."""
     import torch

@@ -1,7 +1,8 @@
 """Semantic-segmentation model zoo — the capability of the CSAILVision
 ModelBuilder factory (semantic-segmentation-pytorch/mit_semseg/models/models.py:51-160):
-encoders (resnet18/50/101 with optional dilation, mobilenetv2-dilated,
-hrnetv2) and decoders (c1, c1_deepsup, ppm, ppm_deepsup, upernet).
+encoders (resnet18/50/101 with optional dilation, resnext101,
+mobilenetv2-dilated, hrnetv2) and decoders (c1, c1_deepsup, ppm,
+ppm_deepsup, upernet).
 
 The cue pipeline uses hrnetv2+c1 (offline/hrnet.py); this zoo rounds out the
 toolkit so any reference config maps to a flax model. All NHWC, BN inference/
@@ -20,17 +21,21 @@ from .hrnet import HRNetV2Trunk, _bn
 
 class ResNetBlock(nn.Module):
     """Bottleneck (expansion 4) or basic (expansion 1) residual block with
-    optional dilation (the 'dilated8' trick replaces stride by dilation)."""
+    optional dilation (the 'dilated8' trick replaces stride by dilation).
+    groups>1 + expansion=2 gives the CSAIL GroupBottleneck
+    (mit_semseg/models/resnext.py:23-59) used by resnext101."""
     planes: int
     stride: int = 1
     dilation: int = 1
     bottleneck: bool = True
     has_downsample: bool = False
     dtype: Any = jnp.float32
+    groups: int = 1
+    expansion: int = 0  # 0 = derive from bottleneck (4) / basic (1)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        expansion = 4 if self.bottleneck else 1
+        expansion = self.expansion or (4 if self.bottleneck else 1)
         out_ch = self.planes * expansion
         residual = x
         if self.bottleneck:
@@ -39,6 +44,7 @@ class ResNetBlock(nn.Module):
             y = nn.relu(_bn(train, "bn1")(y).astype(self.dtype))
             y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=self.dilation,
                         kernel_dilation=self.dilation, use_bias=False, name="conv2",
+                        feature_group_count=self.groups,
                         dtype=self.dtype)(y)
             y = nn.relu(_bn(train, "bn2")(y).astype(self.dtype))
             y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3", dtype=self.dtype)(y)
@@ -60,7 +66,7 @@ class ResNetBlock(nn.Module):
 
 
 _RESNET_LAYERS = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3),
-                  "resnet101": (3, 4, 23, 3)}
+                  "resnet101": (3, 4, 23, 3), "resnext101": (3, 4, 23, 3)}
 
 
 class ResNetEncoder(nn.Module):
@@ -75,6 +81,9 @@ class ResNetEncoder(nn.Module):
     def __call__(self, x, train: bool = False):
         layers = _RESNET_LAYERS[self.arch]
         bottleneck = self.arch != "resnet18"
+        is_next = self.arch == "resnext101"
+        groups = 32 if is_next else 1
+        expansion = 2 if is_next else (4 if bottleneck else 1)
         y = x.astype(self.dtype)
         for i, ch in enumerate((64, 64, 128)):
             y = nn.Conv(ch, (3, 3), strides=2 if i == 0 else 1, padding=1,
@@ -83,18 +92,17 @@ class ResNetEncoder(nn.Module):
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         outs = []
-        planes = (64, 128, 256, 512)
+        planes = (128, 256, 512, 1024) if is_next else (64, 128, 256, 512)
         for stage in range(4):
             if self.dilated and stage >= 2:
                 stride, dilation = 1, 2 ** (stage - 1)
             else:
                 stride, dilation = (1 if stage == 0 else 2), 1
             for b in range(layers[stage]):
-                expansion = 4 if bottleneck else 1
                 needs_ds = b == 0 and (stride != 1 or
                                        y.shape[-1] != planes[stage] * expansion)
                 y = ResNetBlock(planes[stage], stride if b == 0 else 1, dilation,
-                                bottleneck, needs_ds, self.dtype,
+                                bottleneck, needs_ds, self.dtype, groups, expansion,
                                 name=f"layer{stage + 1}_block{b}")(y, train)
             outs.append(y)
         return outs
@@ -261,7 +269,8 @@ class SegmentationModel(nn.Module):
         enc = self.arch_encoder
         if enc == "hrnetv2":
             feats = [HRNetV2Trunk(self.dtype, name="encoder")(x, train)]
-        elif enc.startswith("resnet"):
+        elif enc.startswith("resnet") or enc == "resnext101":
+            # resnext101 has no dilated ModelBuilder variant (models.py:96-98)
             feats = ResNetEncoder(enc.replace("dilated", ""),
                                   dilated="dilated" in enc, dtype=self.dtype,
                                   name="encoder")(x, train)

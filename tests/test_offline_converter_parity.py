@@ -194,3 +194,122 @@ def test_swin_converter_value_parity():
             np.asarray(of).transpose(0, 3, 1, 2), ot.numpy(),
             rtol=2e-3, atol=2e-3,
             err_msg=f"Swin stage {i} features diverged from reference torch model")
+
+
+# ------------------------------------------------------------------- ResNeXt
+
+def test_resnext101_converter_value_parity():
+    """semseg_zoo ResNetEncoder('resnext101') + convert_resnet_encoder vs the
+    vendored CSAIL ResNeXt (mit_semseg/models/resnext.py:62-151): random
+    weights, compare the four stage feature maps (the slice ModelBuilder's
+    Resnet wrapper exposes, models.py:96-98)."""
+    if _SEMSEG_ROOT not in sys.path:
+        sys.path.insert(0, _SEMSEG_ROOT)
+    resnext_mod = pytest.importorskip("mit_semseg.models.resnext")
+
+    import jax.numpy as jnp
+    from mde_tpu.offline.semseg_zoo import ResNetEncoder
+    from mde_tpu.offline.hrnet_convert import convert_resnet_encoder
+
+    t_model = resnext_mod.resnext101(pretrained=False)
+    randomize_(t_model, 20)
+    t_model.eval()
+
+    g = torch.Generator().manual_seed(21)
+    x = torch.randn(1, 3, 64, 96, generator=g)
+    with torch.no_grad():
+        # replicate the Resnet wrapper's conv_out collection (models.py:179-200)
+        y = t_model.relu1(t_model.bn1(t_model.conv1(x)))
+        y = t_model.relu2(t_model.bn2(t_model.conv2(y)))
+        y = t_model.relu3(t_model.bn3(t_model.conv3(y)))
+        y = t_model.maxpool(y)
+        feats_t = []
+        for layer in (t_model.layer1, t_model.layer2, t_model.layer3,
+                      t_model.layer4):
+            y = layer(y)
+            feats_t.append(y)
+
+    params, stats = convert_resnet_encoder(t_model.state_dict())
+    enc = ResNetEncoder("resnext101", dilated=False, dtype=jnp.float32)
+    feats_f = enc.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(_nhwc(x)))
+
+    assert [f.shape[-1] for f in feats_f] == [256, 512, 1024, 2048]
+    for ff, ft in zip(feats_f, feats_t):
+        np.testing.assert_allclose(
+            np.asarray(ff).transpose(0, 3, 1, 2), ft.numpy(),
+            rtol=1e-3, atol=1e-3,
+            err_msg="resnext101 encoder diverged from vendored torch model")
+
+
+# ------------------------------------------- Swin rel-pos re-interpolation
+
+def test_rel_pos_table_resize_matches_torch_bicubic():
+    """resize_rel_pos_table vs the fork's own logic
+    (mmcv_custom/checkpoint.py:336-353): permute to (1,nH,S1,S1),
+    F.interpolate bicubic, permute back — exact weight-level parity."""
+    import torch.nn.functional as F
+    from mde_tpu.offline.swin_convert import resize_rel_pos_table
+
+    g = torch.Generator().manual_seed(30)
+    for s1, s2 in ((13, 15), (15, 13), (7, 23), (23, 7)):
+        nH = 4
+        table = torch.randn((2 * s1 - 1) ** 2, nH, generator=g)
+        L2 = (2 * s2 - 1) ** 2
+        S1, S2 = 2 * s1 - 1, 2 * s2 - 1
+        ref = F.interpolate(
+            table.permute(1, 0).view(1, nH, S1, S1), size=(S2, S2),
+            mode="bicubic").view(nH, L2).permute(1, 0).numpy()
+        ours = resize_rel_pos_table(table.numpy(), L2)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_convert_swin_backbone_resizes_mismatched_tables():
+    """convert_swin_backbone(window_size=W) reshapes every block's table to
+    (2W-1)^2 rows; exact-shape tables pass through bit-identically."""
+    from mde_tpu.offline.swin_convert import convert_swin_backbone
+
+    g = torch.Generator().manual_seed(31)
+    depths = (1, 1)
+    sd = {}
+    dim = 8
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            src = f"backbone.layers.{s}.blocks.{b}"
+            for ln in (".norm1", ".norm2"):
+                sd[src + ln + ".weight"] = torch.ones(dim)
+                sd[src + ln + ".bias"] = torch.zeros(dim)
+            sd[src + ".attn.qkv.weight"] = torch.randn(3 * dim, dim, generator=g)
+            sd[src + ".attn.qkv.bias"] = torch.zeros(3 * dim)
+            sd[src + ".attn.proj.weight"] = torch.randn(dim, dim, generator=g)
+            sd[src + ".attn.proj.bias"] = torch.zeros(dim)
+            # pretrained at window 12 -> (2*12-1)^2 = 529 rows
+            sd[src + ".attn.relative_position_bias_table"] = torch.randn(
+                529, 2, generator=g)
+            sd[src + ".mlp.fc1.weight"] = torch.randn(dim, dim, generator=g)
+            sd[src + ".mlp.fc1.bias"] = torch.zeros(dim)
+            sd[src + ".mlp.fc2.weight"] = torch.randn(dim, dim, generator=g)
+            sd[src + ".mlp.fc2.bias"] = torch.zeros(dim)
+    sd["backbone.patch_embed.proj.weight"] = torch.randn(dim, 3, 4, 4, generator=g)
+    sd["backbone.patch_embed.proj.bias"] = torch.zeros(dim)
+    sd["backbone.patch_embed.norm.weight"] = torch.ones(dim)
+    sd["backbone.patch_embed.norm.bias"] = torch.zeros(dim)
+    sd["backbone.layers.0.downsample.norm.weight"] = torch.ones(4 * dim)
+    sd["backbone.layers.0.downsample.norm.bias"] = torch.zeros(4 * dim)
+    sd["backbone.layers.0.downsample.reduction.weight"] = torch.randn(
+        2 * dim, 4 * dim, generator=g)
+    for s in range(4):
+        sd[f"backbone.norm{s}.weight"] = torch.ones(dim)
+        sd[f"backbone.norm{s}.bias"] = torch.zeros(dim)
+
+    p = convert_swin_backbone(sd, depths=depths, window_size=7)
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            t = p[f"stage{s}_block{b}"]["attn"]["relative_position_bias_table"]
+            assert t.shape == (169, 2)       # (2*7-1)^2
+
+    # matching window size: bit-exact pass-through
+    p2 = convert_swin_backbone(sd, depths=depths, window_size=12)
+    t2 = p2["stage0_block0"]["attn"]["relative_position_bias_table"]
+    np.testing.assert_array_equal(
+        t2, sd["backbone.layers.0.blocks.0.attn.relative_position_bias_table"].numpy())
