@@ -119,13 +119,35 @@ def detector_param_labels(params):
     return jax.tree_util.tree_map_with_path(label, params)
 
 
-def detector_optimizer(params, base_lr: float = 1e-4, weight_decay: float = 0.05,
-                       steps_per_epoch: int = 1000, epochs: int = 36):
-    """AdamW + step decay at epochs 27/33 (x0.1 each), paramwise no-decay."""
+def detector_lr_schedule(base_lr: float = 1e-4, steps_per_epoch: int = 1000,
+                         warmup_iters: int = 500, warmup_ratio: float = 1e-3):
+    """The reference detector schedule: mmcv linear warmup over the first
+    500 iters (factor 1 - (1 - step/iters) * (1 - ratio), so step 0 trains at
+    base_lr*1e-3 — Swin…/configs/_base_/schedules/schedule_1x.py:7-9) into a
+    step decay x0.1 at epochs 27 and 33."""
     import optax
 
     boundaries = {27 * steps_per_epoch: 0.1, 33 * steps_per_epoch: 0.1}
-    sched = optax.piecewise_constant_schedule(base_lr, boundaries)
+    decay = optax.piecewise_constant_schedule(base_lr, boundaries)
+
+    def sched(step):
+        import jax.numpy as jnp
+        frac = jnp.minimum(step / warmup_iters, 1.0)
+        factor = 1.0 - (1.0 - frac) * (1.0 - warmup_ratio)
+        return decay(step) * factor
+
+    return sched
+
+
+def detector_optimizer(params, base_lr: float = 1e-4, weight_decay: float = 0.05,
+                       steps_per_epoch: int = 1000, epochs: int = 36,
+                       warmup_iters: int = 500, warmup_ratio: float = 1e-3):
+    """AdamW + linear warmup + step decay at epochs 27/33 (x0.1 each),
+    paramwise no-decay."""
+    import optax
+
+    sched = detector_lr_schedule(base_lr, steps_per_epoch, warmup_iters,
+                                 warmup_ratio)
     labels = detector_param_labels(params)
     tx = optax.multi_transform(
         {"decay": optax.adamw(sched, b1=0.9, b2=0.999, weight_decay=weight_decay),

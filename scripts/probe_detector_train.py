@@ -110,16 +110,18 @@ def main():
 
     try:
         t0 = time.perf_counter()
-        state, losses = run_steps(state, jax.random.PRNGKey(1))
-        loss_val = float(losses[-1])
+        state, losses1 = run_steps(state, jax.random.PRNGKey(1))
+        traj1 = [round(float(v), 4) for v in np.asarray(losses1)]
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        state, losses = run_steps(state, jax.random.PRNGKey(2))
-        loss_val = float(losses[-1])
+        state, losses2 = run_steps(state, jax.random.PRNGKey(2))
+        traj2 = [round(float(v), 4) for v in np.asarray(losses2)]
         dt = time.perf_counter() - t0
         print(json.dumps({
             "detector_train_ms_per_step": round(1e3 * dt / ITERS, 2),
-            "img_per_sec": round(ITERS / dt, 2), "loss": loss_val,
+            "img_per_sec": round(ITERS / dt, 2),
+            "loss_trajectory": traj1 + traj2,
+            "all_finite": bool(np.isfinite(traj1 + traj2).all()),
             "compile_s": round(compile_s, 1),
             "tunnel_tflops_post": tunnel_health()}), flush=True)
     except Exception as e:  # noqa: BLE001 — record helper-limit/OOM outcomes

@@ -80,3 +80,25 @@ def test_paramwise_labels_and_optimizer():
     grads = jax.tree_util.tree_map(jnp.ones_like, params)
     updates, _ = tx.update(grads, state, params)
     assert np.isfinite(float(updates["backbone"]["stage0_block0"]["mlp_fc1"]["kernel"][0, 0]))
+
+
+def test_detector_lr_warmup_schedule():
+    """mmcv linear warmup semantics (schedule_1x.py:7-9): step 0 trains at
+    base_lr*warmup_ratio, ramps linearly to base_lr at warmup_iters, then
+    the 27/33-epoch step decay applies."""
+    import jax.numpy as jnp
+    from mde_tpu.offline.detection_data import detector_lr_schedule
+
+    base = 1e-4
+    sched = detector_lr_schedule(base_lr=base, steps_per_epoch=100,
+                                 warmup_iters=500, warmup_ratio=1e-3)
+    np.testing.assert_allclose(float(sched(jnp.asarray(0))), base * 1e-3,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(sched(jnp.asarray(250))),
+                               base * (1 - 0.5 * (1 - 1e-3)), rtol=1e-4)
+    np.testing.assert_allclose(float(sched(jnp.asarray(500))), base, rtol=1e-4)
+    np.testing.assert_allclose(float(sched(jnp.asarray(2699))), base, rtol=1e-4)
+    np.testing.assert_allclose(float(sched(jnp.asarray(2700))), base * 0.1,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(sched(jnp.asarray(3300))), base * 0.01,
+                               rtol=1e-4)
