@@ -197,15 +197,6 @@ class TrainArgParser(CommonArgParser):
         # place of replica) — activation memory caps at one micro-batch.
         self.add_argument('--accum_steps', default=1, type=int,
                           help='gradient-accumulation micro-steps per batch')
-        # TPU-native extension: encoder depthwise-conv implementation.
-        # 'shifts' expresses each depthwise conv as K^2 shifted FMAs at the
-        # XLA level (measured 1.6x SLOWER than 'conv' — kept for A/B);
-        # 'pallas' routes stride-1 depthwise convs through the VMEM-halo
-        # Mosaic kernel (kernels/dw_conv.py; TPU-only, falls back to 'conv'
-        # elsewhere). Checkpoints are interchangeable across all three.
-        self.add_argument('--dw_impl', default='conv',
-                          choices=['conv', 'shifts', 'pallas'],
-                          help='encoder depthwise conv lowering')
         # TPU-native extension: encoder pointwise (1x1) conv lowering.
         # 'matmul' expresses each 1x1 conv as an explicit flattened
         # dot_general whose backward is two clean matmuls (the 16x16
@@ -226,8 +217,9 @@ class TrainArgParser(CommonArgParser):
         # B5 bs8 98.4->94.0. Odd widths / too-wide channels fall back to the
         # native layout automatically.
         self.add_argument('--hires_impl', default='packed',
-                          choices=['native', 'packed'],
-                          help='encoder stage-0 layout')
+                          choices=['native', 'packed', 'packed2'],
+                          help='encoder high-res layout: packed = W-packed '
+                               'stage 0; packed2 = stages 0+1')
         # TPU-native extension: fuse each decoder up-block's
         # [bilinear upsample -> concat(skip) -> conv3x3] into one Mosaic
         # kernel (kernels/up_block.py) that W-resizes rows in VMEM and never

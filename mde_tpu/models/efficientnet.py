@@ -68,79 +68,14 @@ def _drop_path(x, rate: float, deterministic: bool, rng):
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
-class DepthwiseConv(nn.Module):
-    """Depthwise KxK conv as K^2 shifted multiply-accumulates (opt-in).
-
-    XLA:TPU lowers grouped convolutions through its generic conv path; for
-    feature_group_count == C the MXU contributes nothing (1 input channel per
-    group) and the lowering pays conv machinery for what is really K^2
-    elementwise FMAs. This module expresses the same arithmetic as strided
-    slices * per-channel weights summed in f32 registers — one fused VPU pass
-    over the output, with backward slices/pads that are also elementwise.
-
-    Parameter name ('kernel'), shape (K, K, 1, C) and initializer match
-    nn.Conv(feature_group_count=C, use_bias=False) exactly, so checkpoints
-    are interchangeable with the lax-conv path and the torch converter needs
-    no changes. Padding follows TF-'SAME' via lax.padtype_to_pads — the same
-    semantics nn.Conv(padding='SAME') uses.
-    """
-    kernel_size: int
-    stride: int
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        k, s = self.kernel_size, self.stride
-        c = x.shape[-1]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (k, k, 1, c))
-        x = x.astype(self.dtype)
-        w = kernel.astype(self.dtype)
-        pads = jax.lax.padtype_to_pads(x.shape[1:3], (k, k), (s, s), "SAME")
-        xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
-        ho = (x.shape[1] + sum(pads[0]) - k) // s + 1
-        wo = (x.shape[2] + sum(pads[1]) - k) // s + 1
-        acc = jnp.zeros((x.shape[0], ho, wo, c), jnp.float32)
-        for di in range(k):
-            for dj in range(k):
-                tap = jax.lax.slice(
-                    xp,
-                    (0, di, dj, 0),
-                    (xp.shape[0], di + (ho - 1) * s + 1, dj + (wo - 1) * s + 1, c),
-                    (1, s, s, 1))
-                acc = acc + (tap * w[di, dj, 0]).astype(jnp.float32)
-        return acc.astype(self.dtype)
-
-
-class PallasDepthwiseConv(nn.Module):
-    """Stride-1 depthwise conv through kernels/dw_conv.py: one DMA of each
-    halo'd input tile into VMEM, all K^2 taps from registers (see that module
-    for why the XLA-level alternatives lose). Parameter name ('kernel'),
-    shape (K, K, 1, C) and initializer match nn.Conv(feature_group_count=C,
-    use_bias=False), so checkpoints are interchangeable with the other
-    dw_impl paths."""
-    kernel_size: int
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        from ..kernels.dw_conv import dw_conv2d_pallas
-        k = self.kernel_size
-        c = x.shape[-1]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (k, k, 1, c))
-        return dw_conv2d_pallas(x.astype(self.dtype),
-                                kernel.astype(self.dtype), False)
-
-
 def _dw_conv(kernel: int, stride: int, dtype, dw_impl: str, chs: int):
-    """Pick the depthwise conv implementation for one block site. The Pallas
-    kernel covers stride 1 / odd K; stride-2 stage transitions (half-res
-    output, 4 of ~23 blocks) stay on the lax grouped conv."""
-    if dw_impl == "pallas" and stride == 1 and kernel % 2 == 1:
-        return PallasDepthwiseConv(kernel, dtype=dtype, name="conv_dw")
-    if dw_impl == "shifts":
-        return DepthwiseConv(kernel, stride, dtype=dtype, name="conv_dw")
+    """Depthwise conv: XLA's grouped conv, measured near the HBM bound at the
+    hot sites (208x272x96: ~0.5/0.7 ms fwd / fwd+bwd vs the 0.44 ms bound).
+    Two alternatives were built, measured in-step, and RETIRED (r4 policy —
+    see README "Measured experiments"): K^2 shifted-FMA 'shifts' (lost 1.6x,
+    re-reads the padded input K^2 times from HBM; e322010..2026-08-18) and a
+    Pallas halo-tile kernel (fwd 3x loss, 95f019d). dw_impl is kept in the
+    signature for call-site stability but only 'conv' remains."""
     return nn.Conv(chs, (kernel, kernel), strides=stride, padding="SAME",
                    feature_group_count=chs, use_bias=False, name="conv_dw",
                    dtype=dtype)
@@ -209,7 +144,7 @@ class DepthwiseSeparableBlock(nn.Module):
     se_reduced_chs: int
     drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
-    dw_impl: str = "conv"          # "conv" (lax grouped conv) | "shifts"
+    dw_impl: str = "conv"          # retired experiments removed; only "conv"
     pw_impl: str = "conv"          # "conv" (lax 1x1 conv) | "matmul"
 
     @nn.compact
@@ -240,7 +175,7 @@ class InvertedResidualBlock(nn.Module):
     se_reduced_chs: int
     drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
-    dw_impl: str = "conv"          # "conv" (lax grouped conv) | "shifts"
+    dw_impl: str = "conv"          # retired experiments removed; only "conv"
     pw_impl: str = "conv"          # "conv" (lax 1x1 conv) | "matmul"
 
     @nn.compact
@@ -455,6 +390,66 @@ class PackedDSBlock(nn.Module):
         return y
 
 
+class PackedIRBlock(nn.Module):
+    """InvertedResidualBlock (MBConv) computed in the W-packed lane layout
+    everywhere except the depthwise conv.
+
+    The dense-dw trick (dw_dense_weight) is FLOP-affordable only while
+    p*C <= 128; an MBConv's expanded width (expand*C_in) is far past that,
+    so the dw conv unpacks to XLA's grouped conv — measured near the HBM
+    bound at these shapes (kernels/dw_conv.py verdict) — and repacks after.
+    Every pw/BN/SE/elementwise op runs at packed lane density instead of
+    C/128. Identical param tree to InvertedResidualBlock
+    (conv_pw/bn1/conv_dw/bn2/se/conv_pwl/bn3, canonical shapes), so
+    checkpoints and converters are untouched.
+
+    Input (B,H,W/p_in, p_in*C_in) -> output (B,H/s,W/(s*p_out), p_out*C_out);
+    a stride-2 block halves the unpacked grid at the dw conv and repacks
+    with pack_out.
+    """
+    out_chs: int
+    kernel: int
+    stride: int
+    expand_ratio: int
+    se_reduced_chs: int
+    drop_path_rate: float = 0.0
+    dtype: Any = jnp.float32
+    pack_in: int = 4
+    pack_out: int = 4
+
+    @nn.compact
+    def __call__(self, xp, train: bool = False):
+        p_in, p_out = self.pack_in, self.pack_out
+        in_chs = xp.shape[-1] // p_in
+        mid_chs = in_chs * self.expand_ratio
+
+        pw_k = _KernelParam((1, 1, in_chs, mid_chs), name="conv_pw")()
+        y = xp.astype(self.dtype) @ jnp.kron(
+            jnp.eye(p_in, dtype=self.dtype), pw_k[0, 0].astype(self.dtype))
+        y = PackedBatchNorm(mid_chs, p_in, not train, name="bn1")(y)
+        y = nn.silu(y.astype(self.dtype))
+
+        y = unpack_w(y, mid_chs)
+        y = nn.Conv(mid_chs, (self.kernel, self.kernel), strides=self.stride,
+                    padding="SAME", feature_group_count=mid_chs,
+                    use_bias=False, name="conv_dw", dtype=self.dtype)(y)
+        y = pack_w(y, p_out)
+
+        y = PackedBatchNorm(mid_chs, p_out, not train, name="bn2")(y)
+        y = nn.silu(y.astype(self.dtype))
+        y = y * PackedSqueezeExcite(self.se_reduced_chs, mid_chs, p_out,
+                                    dtype=self.dtype, name="se")(y)
+        pwl_k = _KernelParam((1, 1, mid_chs, self.out_chs), name="conv_pwl")()
+        y = y @ jnp.kron(jnp.eye(p_out, dtype=self.dtype),
+                         pwl_k[0, 0].astype(self.dtype))
+        y = PackedBatchNorm(self.out_chs, p_out, not train,
+                            name="bn3")(y).astype(self.dtype)
+        if self.stride == 1 and in_chs == self.out_chs:
+            rng = self.make_rng("drop_path") if train and self.drop_path_rate > 0 else None
+            y = _drop_path(y, self.drop_path_rate, not train, rng) + xp
+        return y
+
+
 class EfficientNetEncoder(nn.Module):
     """EfficientNet trunk returning the full intermediate-feature list.
 
@@ -472,12 +467,14 @@ class EfficientNetEncoder(nn.Module):
     drop_path_rate: float = 0.0
     remat: bool = False
     dtype: Any = jnp.float32
-    dw_impl: str = "conv"          # "conv" (lax grouped conv) | "shifts"
+    dw_impl: str = "conv"          # retired experiments removed; only "conv"
     pw_impl: str = "conv"          # "conv" (lax 1x1 conv) | "matmul"
     # "packed" computes the high-res low-channel stage-0 blocks in the
     # W-packed lane layout (see PackedDSBlock) — same params, same math,
     # ~full lane density instead of C/128 on the dominant HBM traffic.
-    hires_impl: str = "native"     # "native" | "packed"
+    # "packed2" additionally runs stage 1's MBConvs packed (PackedIRBlock:
+    # packed pw/BN/SE, native dw in the middle).
+    hires_impl: str = "native"     # "native" | "packed" | "packed2"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
@@ -493,7 +490,8 @@ class EfficientNetEncoder(nn.Module):
         head_chs = round_channels(1280, width)
 
         features = [x]
-        stem_packed = (self.hires_impl == "packed" and x.shape[2] % 2 == 0
+        packed = self.hires_impl in ("packed", "packed2")
+        stem_packed = (packed and x.shape[2] % 2 == 0
                        and _pick_pack(stem_chs, x.shape[2] // 2) > 1)
         yp = None
         if stem_packed:
@@ -524,7 +522,7 @@ class EfficientNetEncoder(nn.Module):
         for stage_i, (expand, kernel, stride, base_c, base_r) in enumerate(_B0_STAGES):
             out_chs = round_channels(base_c, width)
             repeats = round_repeats(base_r, depth)
-            if (self.hires_impl == "packed" and stage_i == 0 and expand == 1
+            if (packed and stage_i == 0 and expand == 1
                     and stride == 1 and kernel == 3
                     and _pick_pack(y.shape[-1], y.shape[2]) > 1):
                 pk_cls = (nn.remat(PackedDSBlock, static_argnums=(2,))
@@ -545,9 +543,36 @@ class EfficientNetEncoder(nn.Module):
                         yp = pack_w(unpack_w(yp, out_chs), new_p)
                         p = new_p
                 y = unpack_w(yp, out_chs)
-                yp = None
+                if self.hires_impl != "packed2":
+                    yp = None      # stage 1 consumes the packed view below
                 features.append(y)
                 continue
+            if (self.hires_impl == "packed2" and stage_i == 1 and expand > 1
+                    and kernel == 3 and stride == 2 and y.shape[2] % 2 == 0
+                    and _pick_pack(out_chs, y.shape[2] // 2) > 1):
+                p_in = p if yp is not None else _pick_pack(y.shape[-1],
+                                                           y.shape[2])
+                if yp is None and p_in > 1:
+                    yp = pack_w(y, p_in)
+                if yp is not None:
+                    p_out = _pick_pack(out_chs, y.shape[2] // 2)
+                    ir_pk = (nn.remat(PackedIRBlock, static_argnums=(2,))
+                             if self.remat else PackedIRBlock)
+                    for rep in range(repeats):
+                        s = stride if rep == 0 else 1
+                        in_chs = yp.shape[-1] // p_in
+                        se_reduced = max(1, int(in_chs * 0.25))
+                        dp_rate = self.drop_path_rate * block_idx / total_blocks
+                        yp = ir_pk(out_chs, kernel, s, expand, se_reduced,
+                                   dp_rate, self.dtype, p_in, p_out,
+                                   name=f"blocks_{stage_i}_{rep}")(yp, train)
+                        block_idx += 1
+                        p_in = p_out
+                    y = unpack_w(yp, out_chs)
+                    yp = None
+                    features.append(y)
+                    continue
+            yp = None
             for rep in range(repeats):
                 s = stride if rep == 0 else 1
                 in_chs = y.shape[-1]

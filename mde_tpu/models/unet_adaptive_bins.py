@@ -101,9 +101,8 @@ class UnetAdaptiveBins(nn.Module):
     insertion_point: str = "before-attn"
     image: str = "rgb"
     remat: str = "none"            # "none" | "encoder" — activation ckpt policy
-    dw_impl: str = "conv"          # encoder depthwise convs: "conv" | "shifts"
     pw_impl: str = "conv"          # encoder 1x1 convs: "conv" | "matmul"
-    hires_impl: str = "native"     # encoder stage-0 layout: "native" | "packed"
+    hires_impl: str = "native"     # encoder high-res layout: "native" | "packed" | "packed2"
     up_impl: str = "native"        # decoder up-block conv_a: "native" | "fused"
     fused_head: bool = False       # Pallas conv+softmax+centers head (TPU only)
     mesh: Any = None               # device mesh; shard_maps the fused head
@@ -160,7 +159,6 @@ class UnetAdaptiveBins(nn.Module):
 
         features = EfficientNetEncoder(self._arch(), dtype=self.dtype,
                                        remat=self.remat == "encoder",
-                                       dw_impl=self.dw_impl,
                                        pw_impl=self.pw_impl,
                                        hires_impl=self.hires_impl,
                                        name="encoder")(x.astype(self.dtype), train=train)
@@ -249,29 +247,10 @@ def _fused_head_available(args, mesh):
     return True
 
 
-def _resolve_dw_impl(args, mesh) -> str:
-    """dw_impl='pallas' is TPU-only (Mosaic); off-TPU it falls back to the
-    lax grouped conv unless the CPU tests force interpret mode — the same
-    gating policy as _fused_head_available."""
-    impl = getattr(args, "dw_impl", "conv") or "conv"
-    if impl != "pallas":
-        return impl
-    if mesh is not None:
-        import numpy as np
-        platform = np.asarray(mesh.devices).flat[0].platform
-    else:
-        import jax
-        platform = jax.devices()[0].platform
-    if platform in ("cpu", "gpu"):
-        from ..kernels import dw_conv as _dw_mod
-        return "pallas" if _dw_mod.FORCE_INTERPRET else "conv"
-    return impl
-
-
 def _resolve_up_impl(args, mesh) -> str:
     """up_impl='fused' (kernels/up_block.py) is TPU-only (Mosaic); off-TPU
     it falls back to the native resize+concat+conv lowering unless the CPU
-    tests force interpret mode — the same gating policy as dw_impl."""
+    tests force interpret mode."""
     impl = getattr(args, "up_impl", "native") or "native"
     if impl != "fused":
         return impl
@@ -303,7 +282,6 @@ def build_model(args, n_bins=None, dtype=jnp.float32, mesh=None) -> UnetAdaptive
         insertion_point=args.insertion_point,
         image=args.image,
         remat=getattr(args, "remat", "none") or "none",
-        dw_impl=_resolve_dw_impl(args, mesh),
         pw_impl=getattr(args, "pw_impl", "conv") or "conv",
         hires_impl=getattr(args, "hires_impl", "native") or "native",
         up_impl=_resolve_up_impl(args, mesh),

@@ -10,7 +10,6 @@ Times each encoder piece fwd and fwd+bwd at the bs16 416x544 shapes:
   pw_hr       one 1x1 16->96 @ 208x272 alone (skinny-matmul ceiling probe)
 
 Usage: python scripts/probe_encoder_bisect.py  [SEGMENTS=a,b PROBE_ITERS=n]
-       DW_IMPL=shifts to route stage depthwise convs through DepthwiseConv
        (the K^2 shifted-FMA formulation) instead of the lax grouped conv.
 """
 
@@ -91,7 +90,6 @@ def main():
         def __call__(self, x, train=True):
             expand, kernel, stride, base_c, base_r = _B0_STAGES[self.stage_i]
             out_chs = round_channels(base_c, width)
-            dw_impl = os.environ.get("DW_IMPL", "conv")
             y = x
             for rep in range(round_repeats(base_r, depth)):
                 s = stride if rep == 0 else 1
@@ -99,11 +97,11 @@ def main():
                 se_red = max(1, int(in_chs * 0.25))
                 if expand == 1:
                     y = DepthwiseSeparableBlock(out_chs, kernel, s, se_red,
-                                                0.1, DT, dw_impl,
+                                                0.1, DT,
                                                 name=f"b{rep}")(y, train)
                 else:
                     y = InvertedResidualBlock(out_chs, kernel, s, expand,
-                                              se_red, 0.1, DT, dw_impl,
+                                              se_red, 0.1, DT,
                                               name=f"b{rep}")(y, train)
             return y
 
@@ -136,23 +134,9 @@ def main():
                                           dtype=np.float32), DT)
     seg_pair("dw_hr", DW(), xdw)
 
-    from mde_tpu.models.efficientnet import DepthwiseConv
-
-    class DWShifts(nn.Module):
-        @nn.compact
-        def __call__(self, x, train=True):
-            return DepthwiseConv(3, 1, dtype=DT, name="dw")(x)
-
-    seg_pair("dw_hr_shifts", DWShifts(), xdw)
-
-    class DWPallas(nn.Module):
-        @nn.compact
-        def __call__(self, x, train=True):
-            from mde_tpu.models.efficientnet import PallasDepthwiseConv
-            return PallasDepthwiseConv(3, dtype=DT, name="dw")(x)
-
-    if jax.devices()[0].platform == "tpu":
-        seg_pair("dw_hr_pallas", DWPallas(), xdw)
+    # (the 'shifts' and Pallas dw ceiling probes were retired with their
+    # implementations — verdicts: 2.9/11.5 ms and 8.62 ms fwd vs XLA's
+    # 0.5/0.7 at this site; README "Measured experiments")
 
     class PW(nn.Module):
         @nn.compact

@@ -41,12 +41,10 @@ def run_variant(name, batch_size, shape=None, **over):
 
     from mde_tpu.cues import InstanceEmbedder, SemanticsEmbedder
 
-    # per-variant pin of the interleave-upsample experiment (default OFF in
-    # production — it lost 24-28% in-step; ops/resize.py::INTERLEAVE_2X)
+    # per-variant pin of the bf16-intermediate resize experiment (default
+    # OFF until its in-step A/B lands; ops/resize.py::RESIZE_BF16_MID)
     import mde_tpu.ops.resize as _rsz
-    _rsz.INTERLEAVE_2X = over.pop("interleave_resize", False)
-    _rsz.RESIZE_BF16_FUSED = over.pop("resize_bf16_fused",
-                                      _rsz.RESIZE_BF16_FUSED)
+    _rsz.RESIZE_BF16_MID = over.pop("resize_bf16_mid", False)
     args = make_args(**over)
     mesh = make_mesh()
     model = build_model(args, dtype=jnp.bfloat16, mesh=mesh)
@@ -177,27 +175,10 @@ VARIANTS = {
     "both_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True)),
     "both+remat_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
                                  remat="encoder")),
-    # depthwise-conv-as-shifted-FMAs experiment (encoder_g is the dominant
-    # segment at ~5 TFLOP/s; dw convs bypass the MXU entirely)
-    "shifts_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
-                             dw_impl="shifts")),
-    "shifts_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
-                             dw_impl="shifts")),
-    # Pallas depthwise kernel (kernels/dw_conv.py): VMEM-halo slab, one DMA
-    # per tile — the formulation the XLA-level 'shifts' experiment couldn't
-    # express (it lost 1.6x on K^2 HBM re-reads)
-    "dwp_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
-                          dw_impl="pallas")),
-    "dwp_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
-                          dw_impl="pallas")),
     # interleave-upsample A/B (MEASURED 2026-08-18: interleave LOSES — bs16
     # 125.88 vs 156.61 ms, bs32 237.31 vs 303.36, stamps 110-112; the
     # stack+reshape relayout outweighs the saved 2-tap matmul FLOPs)
     "both_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True)),
-    "ilv_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
-                          interleave_resize=True)),
-    "ilv_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
-                          interleave_resize=True)),
     # pointwise-conv-as-matmul A/B (--pw_impl matmul). MEASURED 2026-08-18:
     # bs16 parity (126.32 conv / 127.38 matmul), bs32 LOSES 6% (235.70 /
     # 250.42) — XLA lowers in-step 1x1 convs well; 'conv' stays default
@@ -211,8 +192,6 @@ VARIANTS = {
                        use_pallas_chamfer=True)),
     "b5_bs16": (16, dict(encoder_name="efficientnet-b5", use_fused_head=True,
                          use_pallas_chamfer=True)),
-    "b5_shifts_bs8": (8, dict(encoder_name="efficientnet-b5", use_fused_head=True,
-                              use_pallas_chamfer=True, dw_impl="shifts")),
     # batch knee past bs32 (flat 121.5 -> 124.6 from bs24 -> bs32)
     "both_bs48": (48, dict(use_fused_head=True, use_pallas_chamfer=True)),
     "both+remat_bs48": (48, dict(use_fused_head=True, use_pallas_chamfer=True,
@@ -221,17 +200,6 @@ VARIANTS = {
     # models/efficientnet.py::PackedDSBlock): full 128-lane density on the
     # C=32@208x272 blocks that the encoder bisect put ~20x off their HBM
     # bound (CLAUDE.md 2026-08-18)
-    # fused bf16 resize (ops/resize.py::RESIZE_BF16_FUSED): standalone win
-    # 5.08->4.42 / 6.02->5.53 ms over the 4-resize chain (probe_resize_impls
-    # 2026-08-19); in-step A/B vs the packed production tree
-    "rszf_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
-                           hires_impl="packed", resize_bf16_fused=True)),
-    "rszf_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
-                           hires_impl="packed", resize_bf16_fused=True)),
-    "rszf_off_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
-                               hires_impl="packed", resize_bf16_fused=False)),
-    "rszf_off_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
-                               hires_impl="packed", resize_bf16_fused=False)),
     "hires_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
                             hires_impl="packed")),
     "hires_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
@@ -239,6 +207,26 @@ VARIANTS = {
     "b5_hires_bs8": (8, dict(encoder_name="efficientnet-b5",
                              use_fused_head=True, use_pallas_chamfer=True,
                              hires_impl="packed")),
+    # packed2: stage 1's MBConvs also in the W-packed layout (PackedIRBlock:
+    # packed pw/BN/SE around the native dw conv). Stage 1 was the #2 cost in
+    # the encoder bisect (~11.9 ms floor-corrected fwd+bwd at bs16).
+    "hires2_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
+                             hires_impl="packed2")),
+    "hires2_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
+                             hires_impl="packed2")),
+    "b5_hires2_bs8": (8, dict(encoder_name="efficientnet-b5",
+                              use_fused_head=True, use_pallas_chamfer=True,
+                              hires_impl="packed2")),
+    # bf16 inter-einsum resize intermediate (ops/resize.py::RESIZE_BF16_MID):
+    # same two-einsum structure, intermediate stored bf16 instead of f32
+    "rszm_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
+                           hires_impl="packed", resize_bf16_mid=True)),
+    "rszm_off_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
+                               hires_impl="packed")),
+    "rszm_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
+                           hires_impl="packed", resize_bf16_mid=True)),
+    "rszm_off_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
+                               hires_impl="packed")),
     # fused decoder up-block (--up_impl fused, kernels/up_block.py): one
     # Mosaic kernel per UpSampleBN conv_a that W-resizes rows in VMEM and
     # never materializes the upsampled/concatenated tensors in HBM

@@ -181,53 +181,6 @@ def test_patch_embed_matches_strided_conv():
     np.testing.assert_allclose(np.asarray(y), np.asarray(yc), atol=2e-5)
 
 
-@pytest.mark.parametrize("kernel,stride", [(3, 1), (3, 2), (5, 1), (5, 2)])
-def test_depthwise_shifts_matches_grouped_conv(kernel, stride):
-    """DepthwiseConv (K^2 shifted FMAs, the opt-in dw_impl='shifts' path) must
-    equal nn.Conv(feature_group_count=C, padding='SAME') on the same 'kernel'
-    param — including TF-SAME padding at odd sizes and strides."""
-    import flax.linen as nn
-    from mde_tpu.models.efficientnet import DepthwiseConv
-
-    rng = np.random.default_rng(3)
-    c = 24
-    x = jnp.asarray(rng.standard_normal((2, 17, 23, c), dtype=np.float32))
-    dw = DepthwiseConv(kernel, stride, dtype=jnp.float32)
-    variables = dw.init(jax.random.PRNGKey(0), x)
-    y = dw.apply(variables, x)
-
-    conv = nn.Conv(c, (kernel, kernel), strides=stride, padding="SAME",
-                   feature_group_count=c, use_bias=False)
-    yc = conv.apply({"params": dict(variables["params"])}, x)
-    assert y.shape == yc.shape
-    np.testing.assert_allclose(np.asarray(y), np.asarray(yc), atol=2e-5)
-
-
-def test_encoder_dw_impl_equivalence():
-    """The full encoder produces the same features under dw_impl='conv' and
-    'shifts' with shared params (checkpoint interchangeability)."""
-    from mde_tpu.models.efficientnet import EfficientNetEncoder
-
-    rng = np.random.default_rng(5)
-    x = jnp.asarray(rng.standard_normal((1, 64, 96, 3), dtype=np.float32))
-    enc_a = EfficientNetEncoder("efficientnet-b1", dtype=jnp.float32)
-    variables = enc_a.init({"params": jax.random.PRNGKey(0)}, x, False)
-    feats_a = enc_a.apply(variables, x, False)
-    enc_b = EfficientNetEncoder("efficientnet-b1", dtype=jnp.float32,
-                                dw_impl="shifts")
-    feats_b = enc_b.apply(variables, x, False)
-    assert len(feats_a) == len(feats_b)
-    for fa, fb in zip(feats_a, feats_b):
-        np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
-                                   atol=5e-4, rtol=1e-4)
-    # shifts must also compose with activation checkpointing (--remat encoder)
-    enc_c = EfficientNetEncoder("efficientnet-b1", dtype=jnp.float32,
-                                dw_impl="shifts", remat=True)
-    feats_c = enc_c.apply(variables, x, False)
-    np.testing.assert_allclose(np.asarray(feats_c[-1]), np.asarray(feats_b[-1]),
-                               atol=1e-5, rtol=1e-5)
-
-
 def test_encoder_pw_impl_equivalence():
     """pw_impl='matmul' reproduces pw_impl='conv' bit-compatibly with shared
     params (same 'kernel' layout -> checkpoint interchangeability), including

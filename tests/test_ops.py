@@ -37,71 +37,6 @@ def test_bilinear_align_corners_matches_torch(in_hw, out_hw, c):
     np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
 
 
-# The bf16 exact-2x stationary-2-tap interleave path (ops/resize.py::
-# _try_upsample2x — zero MXU FLOPs) is a default-OFF experiment (it loses
-# 24-28% in-step; see INTERLEAVE_2X). Still verify it against torch for
-# BOTH conventions, at odd sizes (edge rows exercise the clip handling),
-# and that its VJP matches the dense-matmul form's, so a re-A/B stays a
-# one-line flag flip.
-@pytest.mark.parametrize("mode", ["align_corners", "half_pixel"])
-@pytest.mark.parametrize("c", [3, 1])
-@pytest.mark.parametrize("in_hw", [(13, 17), (26, 34), (104, 136)])
-def test_upsample2x_interleave_matches_torch(mode, c, in_hw, monkeypatch):
-    import mde_tpu.ops.resize as rsz
-    from mde_tpu.ops.resize import resize_bilinear_half_pixel, _try_upsample2x
-
-    monkeypatch.setattr(rsz, "INTERLEAVE_2X", True)
-
-    rng = np.random.default_rng(7)
-    out_hw = (2 * in_hw[0], 2 * in_hw[1])
-    x = rng.standard_normal((2, *in_hw, c), dtype=np.float32)
-    xb = jnp.asarray(x, jnp.bfloat16)
-    fn = (resize_bilinear_align_corners if mode == "align_corners"
-          else resize_bilinear_half_pixel)
-    ours = np.asarray(fn(xb, out_hw), np.float32)
-    ref = F.interpolate(
-        torch.from_numpy(np.asarray(xb, np.float32)).permute(0, 3, 1, 2),
-        size=out_hw, mode="bilinear",
-        align_corners=(mode == "align_corners")).permute(0, 2, 3, 1).numpy()
-    # bf16 output rounding is the only difference source
-    np.testing.assert_allclose(ours, ref, atol=2 ** -7, rtol=2 ** -7)
-    # confirm the fast path actually engaged for this shape/dtype
-    from mde_tpu.ops.resize import (_linear_weights_align_corners,
-                                    _linear_weights_half_pixel)
-    builder = (_linear_weights_align_corners if mode == "align_corners"
-               else _linear_weights_half_pixel)
-    assert _try_upsample2x(xb, *out_hw, builder) is not None
-
-
-def test_upsample2x_interleave_grad_matches_dense(monkeypatch):
-    import jax
-    import mde_tpu.ops.resize as rsz
-    from mde_tpu.ops.resize import _separable_matmuls, _linear_weights_align_corners
-
-    monkeypatch.setattr(rsz, "INTERLEAVE_2X", True)
-
-    rng = np.random.default_rng(8)
-    x = rng.standard_normal((2, 13, 17, 3), dtype=np.float32)
-    ct = rng.standard_normal((2, 26, 34, 3), dtype=np.float32)
-    xb = jnp.asarray(x, jnp.bfloat16)
-
-    def fast(x):
-        return jnp.sum(resize_bilinear_align_corners(x, (26, 34)).astype(jnp.float32)
-                       * ct)
-
-    wh = jnp.asarray(_linear_weights_align_corners(13, 26))
-    ww = jnp.asarray(_linear_weights_align_corners(17, 34))
-
-    def dense(x):
-        y = _separable_matmuls(wh, ww, x.astype(jnp.float32),
-                               jax.lax.Precision.HIGHEST)
-        return jnp.sum(y.astype(jnp.bfloat16).astype(jnp.float32) * ct)
-
-    g_fast = np.asarray(jax.grad(fast)(xb), np.float32)
-    g_dense = np.asarray(jax.grad(dense)(xb), np.float32)
-    np.testing.assert_allclose(g_fast, g_dense, atol=2 ** -6, rtol=2 ** -6)
-
-
 @pytest.mark.parametrize("in_hw,out_hw", [
     ((416, 544), (208, 272)),
     ((10, 10), (3, 7)),
