@@ -61,14 +61,12 @@ def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
 # Both verdicts: XLA's producer-epilogue fusion around the dense separable
 # matmul beats hand relayouts/contractions; only in-step A/Bs decide.
 
-# NEW r4 hypothesis (distinct from RESIZE_BF16_FUSED, which changed the
-# contraction *structure* to one 3-operand einsum and lost to fusion-choice
-# side effects): keep the exact two-einsum structure and only carry the
-# inter-einsum intermediate in bf16 for bf16 model tensors. DEFAULT MXU
-# precision already truncates the second contraction's operand to bf16, so
-# arithmetic is unchanged up to one rounding of the intermediate; the f32
-# intermediate (e.g. 290 MB at up4's (16,208,136,160)) is pure HBM traffic.
-RESIZE_BF16_MID = False
+# A third bf16-resize hypothesis (RESIZE_BF16_MID: keep the two-einsum
+# structure, store only the inter-einsum intermediate in bf16) was measured
+# 2026-08-20 and found to be exact noise — bs16 113.11 vs 113.40 ms, bs32
+# 224.3 vs 223.31, IDENTICAL loss bits (stamps 110.9/99.3): XLA's fusion
+# already avoids materializing the f32 intermediate in the full program, so
+# the flag changed nothing. Resolved and removed same-day (4b67714).
 
 
 def resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
@@ -98,14 +96,11 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     # right speed/accuracy point (~8 ms/step at the flagship shape).
     prec = (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
-    y = _separable_matmuls(wh, ww, xf, prec,
-                           mid_dtype=dtype if (RESIZE_BF16_MID
-                                               and dtype == jnp.bfloat16)
-                           else None)
+    y = _separable_matmuls(wh, ww, xf, prec)
     return y.astype(dtype)
 
 
-def _separable_matmuls(wh, ww, xf, prec, mid_dtype=None):
+def _separable_matmuls(wh, ww, xf, prec):
     """Apply the two separable resize matmuls, shaped for the MXU.
 
     For C==1 (depth maps: the SILog train-loss interpolation and the eval /
@@ -113,20 +108,13 @@ def _separable_matmuls(wh, ww, xf, prec, mid_dtype=None):
     lane axis — 1/128 MXU utilization on both contractions. Squeeze it and
     contract over (H, W) directly instead; identical arithmetic (same
     contraction, same precision), just a usable layout.
-
-    mid_dtype (RESIZE_BF16_MID): optional dtype for the inter-einsum
-    intermediate — bf16 halves its HBM bytes with arithmetic unchanged up to
-    one rounding (DEFAULT precision truncates the operand to bf16 anyway).
     """
-    def mid(y):
-        return y if mid_dtype is None else y.astype(mid_dtype)
-
     if xf.shape[-1] == 1:
         xsq = xf[..., 0]                                        # (..., H, W)
-        y = mid(jnp.einsum('oh,...hw->...ow', wh, xsq, precision=prec))
+        y = jnp.einsum('oh,...hw->...ow', wh, xsq, precision=prec)
         y = jnp.einsum('pw,...ow->...op', ww, y, precision=prec)
         return y[..., None]
-    y = mid(jnp.einsum('oh,...hwc->...owc', wh, xf, precision=prec))
+    y = jnp.einsum('oh,...hwc->...owc', wh, xf, precision=prec)
     return jnp.einsum('pw,...owc->...opc', ww, y, precision=prec)
 
 

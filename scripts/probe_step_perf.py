@@ -41,10 +41,6 @@ def run_variant(name, batch_size, shape=None, **over):
 
     from mde_tpu.cues import InstanceEmbedder, SemanticsEmbedder
 
-    # per-variant pin of the bf16-intermediate resize experiment (default
-    # OFF until its in-step A/B lands; ops/resize.py::RESIZE_BF16_MID)
-    import mde_tpu.ops.resize as _rsz
-    _rsz.RESIZE_BF16_MID = over.pop("resize_bf16_mid", False)
     args = make_args(**over)
     mesh = make_mesh()
     model = build_model(args, dtype=jnp.bfloat16, mesh=mesh)
@@ -217,16 +213,8 @@ VARIANTS = {
     "b5_hires2_bs8": (8, dict(encoder_name="efficientnet-b5",
                               use_fused_head=True, use_pallas_chamfer=True,
                               hires_impl="packed2")),
-    # bf16 inter-einsum resize intermediate (ops/resize.py::RESIZE_BF16_MID):
-    # same two-einsum structure, intermediate stored bf16 instead of f32
-    "rszm_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
-                           hires_impl="packed", resize_bf16_mid=True)),
-    "rszm_off_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
-                               hires_impl="packed")),
-    "rszm_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
-                           hires_impl="packed", resize_bf16_mid=True)),
-    "rszm_off_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
-                               hires_impl="packed")),
+    # (rszm bf16-intermediate resize variants measured 2026-08-20: exact
+    # parity both batch sizes, identical loss bits -> flag removed same day)
     # fused decoder up-block (--up_impl fused, kernels/up_block.py): one
     # Mosaic kernel per UpSampleBN conv_a that W-resizes rows in VMEM and
     # never materializes the upsampled/concatenated tensors in HBM
