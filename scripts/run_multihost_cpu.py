@@ -89,6 +89,12 @@ def _run_one(args, tag):
 
 def worker():
     rank = int(sys.argv[3])
+    # Stagger startups: launching both workers into `import jax` +
+    # `jax.distributed.initialize` at the same instant on this 1-core box
+    # produced a no-output SIGSEGV in rank 1 (2026-08-20, multihost_r4c.log);
+    # a few seconds of skew serializes the native-library init.
+    import time
+    time.sleep(8 * rank)
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
@@ -107,12 +113,15 @@ def main():
     assert os.path.exists(params_file), params_file
 
     env = _base_env()
+    logs = [open(f"/tmp/mh_rank{r}.log", "w") for r in range(N_PROC)]
     procs = [subprocess.Popen(
         [sys.executable, "-u", here, "--worker", params_file, str(r)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        env=env, stdout=logs[r], stderr=subprocess.STDOUT, text=True)
         for r in range(N_PROC)]
-    outs = [p.communicate()[0] for p in procs]
-    codes = [p.returncode for p in procs]
+    codes = [p.wait() for p in procs]
+    for lg in logs:
+        lg.close()
+    outs = [open(f"/tmp/mh_rank{r}.log").read() for r in range(N_PROC)]
 
     env8 = dict(env)
     env8["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
