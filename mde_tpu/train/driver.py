@@ -92,7 +92,11 @@ def main_train(args, max_steps=None, interactive=True):
     rng = jax.random.PRNGKey(getattr(args, "seed", 42))
     first_batch = next(iter(train_loader))
     init_inputs = _sample_model_inputs(args, first_batch, sem_embedder, inst_embedder)
-    with jax.default_device(jax.devices()[0]):
+    # local_devices, NOT devices: under jax.distributed the global list's
+    # first entry belongs to process 0, and pinning another rank's eager
+    # init to that non-addressable device segfaults inside threefry
+    # (found by the real 2-process run, scripts/run_multihost_cpu.py).
+    with jax.default_device(jax.local_devices()[0]):
         state = create_train_state(model, args, rng, init_inputs, steps_per_epoch)
     state = _apply_pretrained_backbone(state, args, compute_dtype)
 
@@ -130,13 +134,29 @@ def main_train(args, max_steps=None, interactive=True):
         return pred
 
     run_id = make_run_id(args)
+    if jax.process_count() > 1:
+        # All processes must agree on the run_id: orbax's async-save barrier
+        # names embed the checkpoint path, and per-process timestamped ids
+        # deadlock the _async_write_complete barrier (found by the real
+        # 2-process run, scripts/run_multihost_cpu.py). Process 0 decides —
+        # the reference's rank-0-owns-naming semantics (train.py:383-400).
+        from jax.experimental import multihost_utils
+        buf = np.zeros(256, np.uint8)
+        raw = run_id.encode()[:256]
+        buf[:len(raw)] = np.frombuffer(raw, np.uint8)
+        buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        run_id = bytes(buf[buf != 0]).decode()
     experiment_name = args.name
     exp_dir = getattr(args, "exp_dir", None)
     if exp_dir is None:
         os.makedirs(args.root, exist_ok=True)
         exp_dir = setup_exp_dir(args.root, args.name, interactive=interactive)
         args.exp_dir = exp_dir
-    logger = SummaryLogger(exp_dir)
+    # Scalars/figures are written by process 0 only (reference rank-0
+    # logging, train.py:426-452); every process still participates in
+    # validation collectives and orbax checkpoint barriers below.
+    logger = (SummaryLogger(exp_dir) if jax.process_index() == 0
+              else _NullLogger())
     graph_builder = GraphBuilderNYUD2(
         num_samples=2, semantics=args.use_semantics is not None,
         instance_labels=args.use_instance_segmentation is not None)
@@ -250,24 +270,55 @@ def _find_resume_checkpoint(resume: str, exp_dir):
     return candidates[-1] if candidates else None
 
 
+class _NullLogger:
+    """Process>0 logger under jax.distributed: scalars/figures are rank-0's
+    job (reference train.py:426-452); checkpoint/validation collectives are
+    handled separately and still run on every process."""
+    enabled = False
+
+    def add_scalar(self, *a, **k):
+        pass
+
+    def add_figure(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
 def _device_batch(batch):
     """Strip non-array fields before handing the batch to jit."""
     return {k: v for k, v in batch.items()
             if k in ("image", "depth", "semantics", "instance_labels", "instance_areas")}
 
 
+def _local_np(a, dtype=None):
+    """Fetch a jax.Array to host as THIS process's batch rows. Under
+    jax.distributed a global batch spans non-addressable devices and plain
+    np.asarray raises (found by the real 2-process run); concatenating the
+    addressable shards in index order gives the local sub-batch, which is
+    exactly what the reference's per-rank figure logging shows."""
+    if isinstance(a, jax.Array) and not a.is_fully_addressable:
+        shards = sorted(a.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        a = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(a, dtype=dtype) if dtype else np.asarray(a)
+
+
 def _log_qual_figure(logger, graph_builder, tag, args, batch, pred, step):
     """Build + emit one qualitative grid (reference train.py:437-452): RGB,
     GT, pred, and colorized raw cue maps when the run uses them."""
+    if not getattr(logger, "enabled", True):
+        return                     # non-zero rank: skip the matplotlib work
     sem_color = None
     inst_color = None
     if args.use_semantics is not None and "semantics" in batch:
-        sem_color = visualize_semantics(np.asarray(batch["semantics"]))
+        sem_color = visualize_semantics(_local_np(batch["semantics"]))
     if args.use_instance_segmentation is not None and "instance_labels" in batch:
-        inst_color = visualize_semantics(np.asarray(batch["instance_labels"]))
-    graph_builder.add_image(np.asarray(batch["image"]),
-                            np.asarray(batch["depth"]),
-                            np.asarray(pred, dtype=np.float32),
+        inst_color = visualize_semantics(_local_np(batch["instance_labels"]))
+    graph_builder.add_image(_local_np(batch["image"]),
+                            _local_np(batch["depth"]),
+                            _local_np(pred, dtype=np.float32),
                             semantics=sem_color, instance_labels=inst_color)
     logger.add_figure(tag, graph_builder.fig, step)
     graph_builder.reset()

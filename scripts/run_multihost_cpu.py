@@ -46,6 +46,14 @@ def _base_env():
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                         f" --xla_force_host_platform_device_count={DEV_PER_PROC}")
     env["JAX_PLATFORMS"] = "cpu"
+    # Shared persistent compile cache: on this 1-core box two concurrent
+    # full-model CPU compiles exceed Gloo's 30-min collective timeout (a
+    # rank sits in the step's all-reduce while its peer still compiles).
+    # The cache survives across invocations, so a first run that times out
+    # still populates it and the retry cache-hits into lockstep.
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/mh_jax_cache"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
+    env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"
     # Replace PYTHONPATH so the axon sitecustomize (TPU plugin) never loads:
     # its PJRT plugin segfaults under jax.distributed on the CPU backend, and
     # with it gone the JAX_PLATFORMS/XLA_FLAGS env vars apply normally.
@@ -64,7 +72,10 @@ def _run_one(args, tag):
     from mde_tpu.train.driver import main_train
 
     params_file = sys.argv[2]
-    root = f"/tmp/mh_{tag}"
+    # worker ranks share one root (production shared-fs semantics: orbax
+    # process-0 writes + cross-process commit barriers, rank-0-only logging);
+    # the single-process control leg gets its own.
+    root = "/tmp/mh_workers" if tag.startswith("rank") else f"/tmp/mh_{tag}"
     cli = [params_file] + _OVERRIDES + ["--root", root]
     args_ns = parse_cli(TrainArgParser(), cli, mode="train")
     args_ns.max_val_batches = 1
@@ -88,6 +99,8 @@ def _run_one(args, tag):
 
 
 def worker():
+    import faulthandler
+    faulthandler.enable()          # rank 1 SEGVs silently without this
     rank = int(sys.argv[3])
     # Stagger startups: launching both workers into `import jax` +
     # `jax.distributed.initialize` at the same instant on this 1-core box
@@ -111,6 +124,10 @@ def main():
     data_root = os.path.abspath(sys.argv[1])
     params_file = os.path.join(data_root, "params.txt")
     assert os.path.exists(params_file), params_file
+
+    import shutil
+    for stale in ("/tmp/mh_workers", "/tmp/mh_single8"):
+        shutil.rmtree(stale, ignore_errors=True)
 
     env = _base_env()
     logs = [open(f"/tmp/mh_rank{r}.log", "w") for r in range(N_PROC)]

@@ -110,3 +110,56 @@ def test_prefetcher_uses_process_local_assembly(monkeypatch):
     assert len(out) == 1
     assert calls and calls[0][0] is sharding and calls[0][1] == (8, 4, 4, 3)
     assert out[0]["meta"] == "host-only-field"
+
+
+def test_run_id_broadcast_and_rank0_logging(monkeypatch, tmp_path):
+    """The three multi-host driver behaviors the REAL 2-process run
+    (scripts/run_multihost_cpu.py, 2026-08-20) flushed out, pinned at the
+    unit level: (1) every process adopts process-0's run_id so orbax's
+    _async_write_complete barrier names agree; (2) only process 0 gets a
+    real SummaryLogger; (3) _local_np degrades to np.asarray on
+    fully-addressable arrays (single-process figure path unchanged)."""
+    from jax.experimental import multihost_utils
+
+    from mde_tpu.train import driver as drv
+
+    # (1) run_id adoption: simulate being rank 1 — broadcast_one_to_all
+    # returns what rank 0 contributed, not the local value
+    rank0_id = "20-Aug_99-99-nodebs8-tep1-lr0.001-wd0.1-cafecafe"
+    buf0 = np.zeros(256, np.uint8)
+    raw = rank0_id.encode()
+    buf0[:len(raw)] = np.frombuffer(raw, np.uint8)
+    monkeypatch.setattr(multihost_utils, "broadcast_one_to_all",
+                        lambda x: buf0)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+
+    # replicate the driver's adoption block byte-for-byte
+    local_id = "20-Aug_00-00-nodebs8-tep1-lr0.001-wd0.1-deadbeef"
+    buf = np.zeros(256, np.uint8)
+    raw_l = local_id.encode()[:256]
+    buf[:len(raw_l)] = np.frombuffer(raw_l, np.uint8)
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    assert bytes(buf[buf != 0]).decode() == rank0_id
+
+    # (2) rank-1 logger is the null logger and the figure builder skips work
+    lg = drv._NullLogger()
+    assert not getattr(lg, "enabled", True)
+    lg.add_scalar("x", 1.0, 0)
+    lg.add_figure("y", None, 0)
+    lg.close()
+    called = []
+
+    class _Builder:
+        def add_image(self, *a, **k):
+            called.append("built")
+
+    drv._log_qual_figure(lg, _Builder(), "t", None, {}, None, 0)
+    assert called == []   # early-returned before touching arrays
+
+    # (3) single-process passthrough of _local_np
+    x = jax.numpy.arange(6.0).reshape(3, 2)
+    np.testing.assert_array_equal(drv._local_np(x), np.asarray(x))
+    np.testing.assert_array_equal(
+        drv._local_np(np.ones((2, 2)), dtype=np.float32),
+        np.ones((2, 2), np.float32))
