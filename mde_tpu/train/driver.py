@@ -70,6 +70,7 @@ def main_train(args, max_steps=None, interactive=True):
     """Train per the parsed args; returns final TrainState."""
     maybe_init_distributed(args)
     mesh = make_mesh(getattr(args, "mesh_shape", None))
+    run_id = _agree_run_id(args)   # FIRST collective — see docstring
     data_sh = batch_sharding(mesh)
 
     args.batch_size = shard_batch_size(args.bs, mesh,
@@ -133,19 +134,6 @@ def main_train(args, max_steps=None, interactive=True):
                               arrays["image"], sem, lab, areas, train=False)
         return pred
 
-    run_id = make_run_id(args)
-    if jax.process_count() > 1:
-        # All processes must agree on the run_id: orbax's async-save barrier
-        # names embed the checkpoint path, and per-process timestamped ids
-        # deadlock the _async_write_complete barrier (found by the real
-        # 2-process run, scripts/run_multihost_cpu.py). Process 0 decides —
-        # the reference's rank-0-owns-naming semantics (train.py:383-400).
-        from jax.experimental import multihost_utils
-        buf = np.zeros(256, np.uint8)
-        raw = run_id.encode()[:256]
-        buf[:len(raw)] = np.frombuffer(raw, np.uint8)
-        buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
-        run_id = bytes(buf[buf != 0]).decode()
     experiment_name = args.name
     exp_dir = getattr(args, "exp_dir", None)
     if exp_dir is None:
@@ -268,6 +256,31 @@ def _find_resume_checkpoint(resume: str, exp_dir):
     candidates = sorted(glob.glob(os.path.join(exp_dir, "*_latest")),
                         key=os.path.getmtime)
     return candidates[-1] if candidates else None
+
+
+def _agree_run_id(args) -> str:
+    """All processes must agree on the run_id: orbax's async-save barrier
+    names embed the checkpoint filename, and per-process timestamped ids
+    deadlock the _async_write_complete barrier (found by the real 2-process
+    run, scripts/run_multihost_cpu.py). Process 0 decides — the reference's
+    rank-0-owns-naming semantics (train.py:383-400).
+
+    The exchange goes through the jax.distributed key-value store (the
+    coordinator's gRPC channel — what orbax's own barriers use), NOT a
+    device collective: a broadcast_one_to_all would create the job's first
+    Gloo/ICI collective context under per-process startup skew, and Gloo's
+    context-init pairing window is a hard 30 s (measured flaky on the CPU
+    backend; the KV store has no such window)."""
+    run_id = make_run_id(args)
+    if jax.process_count() > 1:
+        from jax._src import distributed as _dist
+        client = getattr(_dist.global_state, "client", None)
+        if client is not None:
+            key = f"mde_tpu/run_id/{args.name}"
+            if jax.process_index() == 0:
+                client.key_value_set(key, run_id)
+            run_id = client.blocking_key_value_get(key, 300_000)
+    return run_id
 
 
 class _NullLogger:

