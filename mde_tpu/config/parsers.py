@@ -197,15 +197,6 @@ class TrainArgParser(CommonArgParser):
         # place of replica) — activation memory caps at one micro-batch.
         self.add_argument('--accum_steps', default=1, type=int,
                           help='gradient-accumulation micro-steps per batch')
-        # TPU-native extension: encoder pointwise (1x1) conv lowering.
-        # 'matmul' expresses each 1x1 conv as an explicit flattened
-        # dot_general whose backward is two clean matmuls (the 16x16
-        # patch-embed conv backward was 16x off through XLA's
-        # conv-backprop path — models/mvit.py::PatchEmbed). Checkpoints
-        # are interchangeable between the two lowerings.
-        self.add_argument('--pw_impl', default='conv',
-                          choices=['conv', 'matmul'],
-                          help='encoder pointwise conv lowering')
         # TPU-native extension: compute the encoder's high-res low-channel
         # stage-0 blocks in a W-packed lane layout (4 W pixels share the
         # 128-lane tile, so BN/SE/elementwise traffic runs at full lane
@@ -217,18 +208,9 @@ class TrainArgParser(CommonArgParser):
         # B5 bs8 98.4->94.0. Odd widths / too-wide channels fall back to the
         # native layout automatically.
         self.add_argument('--hires_impl', default='packed',
-                          choices=['native', 'packed', 'packed2'],
+                          choices=['native', 'packed'],
                           help='encoder high-res layout: packed = W-packed '
-                               'stage 0; packed2 = stages 0+1')
-        # TPU-native extension: fuse each decoder up-block's
-        # [bilinear upsample -> concat(skip) -> conv3x3] into one Mosaic
-        # kernel (kernels/up_block.py) that W-resizes rows in VMEM and never
-        # materializes the upsampled or concatenated tensor in HBM (up4
-        # alone moves ~900MB/step through HBM at bs16 on the native path).
-        # TPU-only; same params and math, checkpoints interchangeable.
-        self.add_argument('--up_impl', default='native',
-                          choices=['native', 'fused'],
-                          help='decoder up-block conv_a lowering')
+                               'stage 0')
 
 
 class EvalArgParser(CommonArgParser):

@@ -18,49 +18,25 @@ from ..ops.resize import resize_bilinear_align_corners
 _BN_EPS = 1e-5  # torch nn.BatchNorm2d default
 
 
-class _ConvParams(nn.Module):
-    """nn.Conv-compatible kernel+bias param holder (same names, shapes and
-    initializers), so the fused up_impl path shares checkpoints with the
-    native nn.Conv lowering (the models/efficientnet.py::_KernelParam trick)."""
-    features: int
-    in_features: int
-
-    @nn.compact
-    def __call__(self):
-        k = self.param("kernel", nn.initializers.lecun_normal(),
-                       (3, 3, self.in_features, self.features))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return k, b
-
-
 class UpSampleBN(nn.Module):
     """Upsample-to-skip-size, concat, then (conv3x3 BN LeakyReLU) x2
     (reference unet_adaptive_bins.py:39-53).
 
-    up_impl='fused' computes [resize -> concat -> conv_a] as one Pallas
-    kernel (kernels/up_block.py) that never materializes the upsampled or
-    concatenated tensor in HBM — same params, same math (bf16 operands,
-    f32 accumulation); falls back to the native lowering when the kernel
-    can't tile the shapes."""
+    A fused Pallas lowering of [resize -> concat -> conv_a]
+    (kernels/up_block.py, '--up_impl fused') was built and RETIRED in r5
+    (README "Measured experiments"): in-step bs16 138.71 ms fused vs
+    113.13 native, +23% (stamp 111.3) — XLA's producer-epilogue fusion
+    over the resize+concat+conv chain beats the hand round-trip through
+    VMEM row-tiles."""
     output_features: int
     dtype: Any = jnp.float32
-    up_impl: str = "native"
 
     @nn.compact
     def __call__(self, x, concat_with, train: bool = False):
-        from ..kernels.up_block import up_concat_conv, up_supported
-        if (self.up_impl == "fused"
-                and up_supported(x.shape, concat_with.shape,
-                                 self.output_features, self.dtype)):
-            cin = x.shape[-1] + concat_with.shape[-1]
-            k, bias = _ConvParams(self.output_features, cin, name="conv_a")()
-            y = up_concat_conv(x.astype(self.dtype),
-                               concat_with.astype(self.dtype), k, bias)
-        else:
-            up_x = resize_bilinear_align_corners(x, concat_with.shape[-3:-1])
-            f = jnp.concatenate([up_x, concat_with.astype(self.dtype)], axis=-1)
-            y = nn.Conv(self.output_features, (3, 3), padding=1, name="conv_a",
-                        dtype=self.dtype)(f)
+        up_x = resize_bilinear_align_corners(x, concat_with.shape[-3:-1])
+        f = jnp.concatenate([up_x, concat_with.astype(self.dtype)], axis=-1)
+        y = nn.Conv(self.output_features, (3, 3), padding=1, name="conv_a",
+                    dtype=self.dtype)(f)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS,
                          momentum=0.9, name="bn_a", dtype=jnp.float32)(y)
         y = nn.leaky_relu(y.astype(self.dtype), 0.01)
@@ -82,7 +58,6 @@ class DecoderBN(nn.Module):
     num_classes: int = 128
     mode: str = "AdaBins"          # "AdaBins" -> num_classes out; "noAdaBins" -> 1
     dtype: Any = jnp.float32
-    up_impl: str = "native"        # UpSampleBN conv_a lowering: "native"|"fused"
 
     @nn.compact
     def __call__(self, features, train: bool = False):
@@ -94,11 +69,10 @@ class DecoderBN(nn.Module):
         x = jnp.pad(x_block4.astype(self.dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
         x_d0 = nn.Conv(f, (1, 1), name="conv2", dtype=self.dtype)(x)
 
-        up = self.up_impl
-        x_d1 = UpSampleBN(f // 2, self.dtype, up, name="up1")(x_d0, x_block3, train)
-        x_d2 = UpSampleBN(f // 4, self.dtype, up, name="up2")(x_d1, x_block2, train)
-        x_d3 = UpSampleBN(f // 8, self.dtype, up, name="up3")(x_d2, x_block1, train)
-        x_d4 = UpSampleBN(f // 16, self.dtype, up, name="up4")(x_d3, x_block0, train)
+        x_d1 = UpSampleBN(f // 2, self.dtype, name="up1")(x_d0, x_block3, train)
+        x_d2 = UpSampleBN(f // 4, self.dtype, name="up2")(x_d1, x_block2, train)
+        x_d3 = UpSampleBN(f // 8, self.dtype, name="up3")(x_d2, x_block1, train)
+        x_d4 = UpSampleBN(f // 16, self.dtype, name="up4")(x_d3, x_block0, train)
 
         out_ch = 1 if self.mode == "noAdaBins" else self.num_classes
         out = nn.Conv(out_ch, (3, 3), padding=1, name="conv3", dtype=self.dtype)(x_d4)

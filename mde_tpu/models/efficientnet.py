@@ -68,56 +68,25 @@ def _drop_path(x, rate: float, deterministic: bool, rng):
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
-def _dw_conv(kernel: int, stride: int, dtype, dw_impl: str, chs: int):
+def _dw_conv(kernel: int, stride: int, dtype, chs: int):
     """Depthwise conv: XLA's grouped conv, measured near the HBM bound at the
     hot sites (208x272x96: ~0.5/0.7 ms fwd / fwd+bwd vs the 0.44 ms bound).
     Two alternatives were built, measured in-step, and RETIRED (r4 policy —
     see README "Measured experiments"): K^2 shifted-FMA 'shifts' (lost 1.6x,
     re-reads the padded input K^2 times from HBM; e322010..2026-08-18) and a
-    Pallas halo-tile kernel (fwd 3x loss, 95f019d). dw_impl is kept in the
-    signature for call-site stability but only 'conv' remains."""
+    Pallas halo-tile kernel (fwd 3x loss, 95f019d)."""
     return nn.Conv(chs, (kernel, kernel), strides=stride, padding="SAME",
                    feature_group_count=chs, use_bias=False, name="conv_dw",
                    dtype=dtype)
 
 
-class PointwiseConv(nn.Module):
-    """1x1 conv as an explicit flattened matmul (opt-in via --pw_impl matmul).
-
-    XLA:TPU's conv-backprop paths can lose badly to the equivalent explicit
-    dot_general (the 16x16 patch-embed conv backward was 16x off — see
-    models/mvit.py::PatchEmbed); MBConv blocks are dominated by 1x1 convs,
-    so this expresses them as `reshape(N*H*W, Cin) @ W` whose backward is
-    two clean matmuls (dy @ W^T and x^T @ dy). Parameter name ('kernel'),
-    shape (1, 1, Cin, Cout) and initializer match
-    nn.Conv(use_bias=False) exactly, so checkpoints are interchangeable
-    with the conv path and the torch converter needs no changes.
-
-    MEASURED VERDICT (2026-08-18, stamps 106-112): no in-step win — bs16
-    126.32 (conv) vs 127.38 ms (matmul), bs32 235.70 vs 250.42. XLA already
-    lowers in-graph 1x1 convs to efficient dots; the patch-embed pathology
-    was specific to strided dense-dilated input-grads. Default stays 'conv'.
-    """
-    out_chs: int
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        cin = x.shape[-1]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (1, 1, cin, self.out_chs))
-        w = kernel.reshape(cin, self.out_chs).astype(self.dtype)
-        y = jax.lax.dot_general(
-            x.astype(self.dtype).reshape(-1, cin), w,
-            (((1,), (0,)), ((), ())))
-        return y.reshape(*x.shape[:-1], self.out_chs)
-
-
-def _pw_conv(out_chs, dtype, impl: str, name: str):
-    """conv_pw/conv_pwl/conv_head factory: lax 1x1 conv or explicit matmul.
-    Both paths share parameter layout; `impl` only changes the lowering."""
-    if impl == "matmul":
-        return PointwiseConv(out_chs, dtype=dtype, name=name)
+def _pw_conv(out_chs, dtype, name: str):
+    """conv_pw/conv_pwl/conv_head 1x1 conv. An explicit-matmul lowering
+    ('--pw_impl matmul') was built and RETIRED in r5 (README "Measured
+    experiments"): bs16 126.32 conv vs 127.38 matmul, bs32 235.70 vs
+    250.42 (stamps 106-112) — XLA already lowers in-graph 1x1 convs to
+    efficient dots; the patch-embed pathology was specific to strided
+    dense-dilated input-grads."""
     return nn.Conv(out_chs, (1, 1), use_bias=False, name=name, dtype=dtype)
 
 
@@ -144,20 +113,17 @@ class DepthwiseSeparableBlock(nn.Module):
     se_reduced_chs: int
     drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
-    dw_impl: str = "conv"          # retired experiments removed; only "conv"
-    pw_impl: str = "conv"          # "conv" (lax 1x1 conv) | "matmul"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         shortcut = x
         in_chs = x.shape[-1]
-        y = _dw_conv(self.kernel, self.stride, self.dtype, self.dw_impl,
-                     in_chs)(x)
+        y = _dw_conv(self.kernel, self.stride, self.dtype, in_chs)(x)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn1", dtype=jnp.float32)(y)
         y = nn.silu(y.astype(self.dtype))
         y = SqueezeExcite(self.se_reduced_chs, dtype=self.dtype, name="se")(y)
-        y = _pw_conv(self.out_chs, self.dtype, self.pw_impl, "conv_pw")(y)
+        y = _pw_conv(self.out_chs, self.dtype, "conv_pw")(y)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn2", dtype=jnp.float32)(y).astype(self.dtype)
         if self.stride == 1 and in_chs == self.out_chs:
@@ -175,8 +141,6 @@ class InvertedResidualBlock(nn.Module):
     se_reduced_chs: int
     drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
-    dw_impl: str = "conv"          # retired experiments removed; only "conv"
-    pw_impl: str = "conv"          # "conv" (lax 1x1 conv) | "matmul"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -184,20 +148,19 @@ class InvertedResidualBlock(nn.Module):
         in_chs = x.shape[-1]
         mid_chs = in_chs * self.expand_ratio
 
-        y = _pw_conv(mid_chs, self.dtype, self.pw_impl, "conv_pw")(x)
+        y = _pw_conv(mid_chs, self.dtype, "conv_pw")(x)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn1", dtype=jnp.float32)(y)
         y = nn.silu(y.astype(self.dtype))
 
-        y = _dw_conv(self.kernel, self.stride, self.dtype, self.dw_impl,
-                     mid_chs)(y)
+        y = _dw_conv(self.kernel, self.stride, self.dtype, mid_chs)(y)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn2", dtype=jnp.float32)(y)
         y = nn.silu(y.astype(self.dtype))
 
         y = SqueezeExcite(self.se_reduced_chs, dtype=self.dtype, name="se")(y)
 
-        y = _pw_conv(self.out_chs, self.dtype, self.pw_impl, "conv_pwl")(y)
+        y = _pw_conv(self.out_chs, self.dtype, "conv_pwl")(y)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn3", dtype=jnp.float32)(y).astype(self.dtype)
 
@@ -390,66 +353,6 @@ class PackedDSBlock(nn.Module):
         return y
 
 
-class PackedIRBlock(nn.Module):
-    """InvertedResidualBlock (MBConv) computed in the W-packed lane layout
-    everywhere except the depthwise conv.
-
-    The dense-dw trick (dw_dense_weight) is FLOP-affordable only while
-    p*C <= 128; an MBConv's expanded width (expand*C_in) is far past that,
-    so the dw conv unpacks to XLA's grouped conv — measured near the HBM
-    bound at these shapes (kernels/dw_conv.py verdict) — and repacks after.
-    Every pw/BN/SE/elementwise op runs at packed lane density instead of
-    C/128. Identical param tree to InvertedResidualBlock
-    (conv_pw/bn1/conv_dw/bn2/se/conv_pwl/bn3, canonical shapes), so
-    checkpoints and converters are untouched.
-
-    Input (B,H,W/p_in, p_in*C_in) -> output (B,H/s,W/(s*p_out), p_out*C_out);
-    a stride-2 block halves the unpacked grid at the dw conv and repacks
-    with pack_out.
-    """
-    out_chs: int
-    kernel: int
-    stride: int
-    expand_ratio: int
-    se_reduced_chs: int
-    drop_path_rate: float = 0.0
-    dtype: Any = jnp.float32
-    pack_in: int = 4
-    pack_out: int = 4
-
-    @nn.compact
-    def __call__(self, xp, train: bool = False):
-        p_in, p_out = self.pack_in, self.pack_out
-        in_chs = xp.shape[-1] // p_in
-        mid_chs = in_chs * self.expand_ratio
-
-        pw_k = _KernelParam((1, 1, in_chs, mid_chs), name="conv_pw")()
-        y = xp.astype(self.dtype) @ jnp.kron(
-            jnp.eye(p_in, dtype=self.dtype), pw_k[0, 0].astype(self.dtype))
-        y = PackedBatchNorm(mid_chs, p_in, not train, name="bn1")(y)
-        y = nn.silu(y.astype(self.dtype))
-
-        y = unpack_w(y, mid_chs)
-        y = nn.Conv(mid_chs, (self.kernel, self.kernel), strides=self.stride,
-                    padding="SAME", feature_group_count=mid_chs,
-                    use_bias=False, name="conv_dw", dtype=self.dtype)(y)
-        y = pack_w(y, p_out)
-
-        y = PackedBatchNorm(mid_chs, p_out, not train, name="bn2")(y)
-        y = nn.silu(y.astype(self.dtype))
-        y = y * PackedSqueezeExcite(self.se_reduced_chs, mid_chs, p_out,
-                                    dtype=self.dtype, name="se")(y)
-        pwl_k = _KernelParam((1, 1, mid_chs, self.out_chs), name="conv_pwl")()
-        y = y @ jnp.kron(jnp.eye(p_out, dtype=self.dtype),
-                         pwl_k[0, 0].astype(self.dtype))
-        y = PackedBatchNorm(self.out_chs, p_out, not train,
-                            name="bn3")(y).astype(self.dtype)
-        if self.stride == 1 and in_chs == self.out_chs:
-            rng = self.make_rng("drop_path") if train and self.drop_path_rate > 0 else None
-            y = _drop_path(y, self.drop_path_rate, not train, rng) + xp
-        return y
-
-
 class EfficientNetEncoder(nn.Module):
     """EfficientNet trunk returning the full intermediate-feature list.
 
@@ -467,14 +370,16 @@ class EfficientNetEncoder(nn.Module):
     drop_path_rate: float = 0.0
     remat: bool = False
     dtype: Any = jnp.float32
-    dw_impl: str = "conv"          # retired experiments removed; only "conv"
-    pw_impl: str = "conv"          # "conv" (lax 1x1 conv) | "matmul"
     # "packed" computes the high-res low-channel stage-0 blocks in the
     # W-packed lane layout (see PackedDSBlock) — same params, same math,
     # ~full lane density instead of C/128 on the dominant HBM traffic.
-    # "packed2" additionally runs stage 1's MBConvs packed (PackedIRBlock:
-    # packed pw/BN/SE, native dw in the middle).
-    hires_impl: str = "native"     # "native" | "packed" | "packed2"
+    # A "packed2" variant (stage-1 MBConvs packed too, PackedIRBlock) was
+    # built and RETIRED in r5: measured 7-15% in-step LOSS (bs16 121.2 vs
+    # 112.99 ms, bs32 242.65 vs 223.55, B5 bs8 108.2 vs 94.14; stamps
+    # 103-112) — the unpack->dw->repack relayouts of the 4x-expanded
+    # stage-1 tensor cost more than packed pw/BN/SE saves. Stage 0 keeps
+    # the win because p*C<=128 keeps the dw dense in-layout, no relayout.
+    hires_impl: str = "native"     # "native" | "packed"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
@@ -490,7 +395,7 @@ class EfficientNetEncoder(nn.Module):
         head_chs = round_channels(1280, width)
 
         features = [x]
-        packed = self.hires_impl in ("packed", "packed2")
+        packed = self.hires_impl == "packed"
         stem_packed = (packed and x.shape[2] % 2 == 0
                        and _pick_pack(stem_chs, x.shape[2] // 2) > 1)
         yp = None
@@ -543,35 +448,9 @@ class EfficientNetEncoder(nn.Module):
                         yp = pack_w(unpack_w(yp, out_chs), new_p)
                         p = new_p
                 y = unpack_w(yp, out_chs)
-                if self.hires_impl != "packed2":
-                    yp = None      # stage 1 consumes the packed view below
+                yp = None
                 features.append(y)
                 continue
-            if (self.hires_impl == "packed2" and stage_i == 1 and expand > 1
-                    and kernel == 3 and stride == 2 and y.shape[2] % 2 == 0
-                    and _pick_pack(out_chs, y.shape[2] // 2) > 1):
-                p_in = p if yp is not None else _pick_pack(y.shape[-1],
-                                                           y.shape[2])
-                if yp is None and p_in > 1:
-                    yp = pack_w(y, p_in)
-                if yp is not None:
-                    p_out = _pick_pack(out_chs, y.shape[2] // 2)
-                    ir_pk = (nn.remat(PackedIRBlock, static_argnums=(2,))
-                             if self.remat else PackedIRBlock)
-                    for rep in range(repeats):
-                        s = stride if rep == 0 else 1
-                        in_chs = yp.shape[-1] // p_in
-                        se_reduced = max(1, int(in_chs * 0.25))
-                        dp_rate = self.drop_path_rate * block_idx / total_blocks
-                        yp = ir_pk(out_chs, kernel, s, expand, se_reduced,
-                                   dp_rate, self.dtype, p_in, p_out,
-                                   name=f"blocks_{stage_i}_{rep}")(yp, train)
-                        block_idx += 1
-                        p_in = p_out
-                    y = unpack_w(yp, out_chs)
-                    yp = None
-                    features.append(y)
-                    continue
             yp = None
             for rep in range(repeats):
                 s = stride if rep == 0 else 1
@@ -581,16 +460,14 @@ class EfficientNetEncoder(nn.Module):
                 name = f"blocks_{stage_i}_{rep}"
                 if expand == 1:
                     y = ds_cls(out_chs, kernel, s, se_reduced,
-                               dp_rate, self.dtype, self.dw_impl,
-                               self.pw_impl, name=name)(y, train)
+                               dp_rate, self.dtype, name=name)(y, train)
                 else:
                     y = ir_cls(out_chs, kernel, s, expand, se_reduced,
-                               dp_rate, self.dtype, self.dw_impl,
-                               self.pw_impl, name=name)(y, train)
+                               dp_rate, self.dtype, name=name)(y, train)
                 block_idx += 1
             features.append(y)
 
-        y = _pw_conv(head_chs, self.dtype, self.pw_impl, "conv_head")(y)
+        y = _pw_conv(head_chs, self.dtype, "conv_head")(y)
         features.append(y)
         y = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS_TF,
                          momentum=0.99, name="bn2", dtype=jnp.float32)(y)

@@ -101,9 +101,7 @@ class UnetAdaptiveBins(nn.Module):
     insertion_point: str = "before-attn"
     image: str = "rgb"
     remat: str = "none"            # "none" | "encoder" — activation ckpt policy
-    pw_impl: str = "conv"          # encoder 1x1 convs: "conv" | "matmul"
-    hires_impl: str = "native"     # encoder high-res layout: "native" | "packed" | "packed2"
-    up_impl: str = "native"        # decoder up-block conv_a: "native" | "fused"
+    hires_impl: str = "native"     # encoder high-res layout: "native" | "packed"
     fused_head: bool = False       # Pallas conv+softmax+centers head (TPU only)
     mesh: Any = None               # device mesh; shard_maps the fused head
     # over its 'data' axis (GSPMD can't partition a Mosaic custom call)
@@ -159,13 +157,12 @@ class UnetAdaptiveBins(nn.Module):
 
         features = EfficientNetEncoder(self._arch(), dtype=self.dtype,
                                        remat=self.remat == "encoder",
-                                       pw_impl=self.pw_impl,
                                        hires_impl=self.hires_impl,
                                        name="encoder")(x.astype(self.dtype), train=train)
         num_features = 2048 if self._arch() == "efficientnet-b5" else 1280
         unet_out = DecoderBN(num_features=num_features, num_classes=128,
                              mode="noAdaBins" if self.no_adabins else "AdaBins",
-                             dtype=self.dtype, up_impl=self.up_impl,
+                             dtype=self.dtype,
                              name="decoder")(features, train=train)
 
         if self.no_adabins:
@@ -247,25 +244,6 @@ def _fused_head_available(args, mesh):
     return True
 
 
-def _resolve_up_impl(args, mesh) -> str:
-    """up_impl='fused' (kernels/up_block.py) is TPU-only (Mosaic); off-TPU
-    it falls back to the native resize+concat+conv lowering unless the CPU
-    tests force interpret mode."""
-    impl = getattr(args, "up_impl", "native") or "native"
-    if impl != "fused":
-        return impl
-    if mesh is not None:
-        import numpy as np
-        platform = np.asarray(mesh.devices).flat[0].platform
-    else:
-        import jax
-        platform = jax.devices()[0].platform
-    if platform in ("cpu", "gpu"):
-        from ..kernels import up_block as _up_mod
-        return "fused" if _up_mod.FORCE_INTERPRET else "native"
-    return impl
-
-
 def build_model(args, n_bins=None, dtype=jnp.float32, mesh=None) -> UnetAdaptiveBins:
     """Construct the model from a parsed args namespace (the reference's
     UnetAdaptiveBins.build surface, unet_adaptive_bins.py:315-360, minus
@@ -282,9 +260,7 @@ def build_model(args, n_bins=None, dtype=jnp.float32, mesh=None) -> UnetAdaptive
         insertion_point=args.insertion_point,
         image=args.image,
         remat=getattr(args, "remat", "none") or "none",
-        pw_impl=getattr(args, "pw_impl", "conv") or "conv",
         hires_impl=getattr(args, "hires_impl", "native") or "native",
-        up_impl=_resolve_up_impl(args, mesh),
         fused_head=_fused_head_available(args, mesh),
         mesh=mesh,
         dtype=dtype,

@@ -175,13 +175,8 @@ VARIANTS = {
     # 125.88 vs 156.61 ms, bs32 237.31 vs 303.36, stamps 110-112; the
     # stack+reshape relayout outweighs the saved 2-tap matmul FLOPs)
     "both_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True)),
-    # pointwise-conv-as-matmul A/B (--pw_impl matmul). MEASURED 2026-08-18:
-    # bs16 parity (126.32 conv / 127.38 matmul), bs32 LOSES 6% (235.70 /
-    # 250.42) — XLA lowers in-step 1x1 convs well; 'conv' stays default
-    "pwm_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
-                          pw_impl="matmul")),
-    "pwm_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
-                          pw_impl="matmul")),
+    # (pwm pw_impl=matmul variants measured 2026-08-18: bs16 parity
+    # 126.32/127.38, bs32 loses 6% — flag retired in r5)
     # the reference's *default* encoder is efficientnet-b5
     # (CommonArgParser.py default) — the published AdaBins flagship
     "b5_bs8": (8, dict(encoder_name="efficientnet-b5", use_fused_head=True,
@@ -203,33 +198,9 @@ VARIANTS = {
     "b5_hires_bs8": (8, dict(encoder_name="efficientnet-b5",
                              use_fused_head=True, use_pallas_chamfer=True,
                              hires_impl="packed")),
-    # packed2: stage 1's MBConvs also in the W-packed layout (PackedIRBlock:
-    # packed pw/BN/SE around the native dw conv). Stage 1 was the #2 cost in
-    # the encoder bisect (~11.9 ms floor-corrected fwd+bwd at bs16).
-    "hires2_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
-                             hires_impl="packed2")),
-    "hires2_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
-                             hires_impl="packed2")),
-    "b5_hires2_bs8": (8, dict(encoder_name="efficientnet-b5",
-                              use_fused_head=True, use_pallas_chamfer=True,
-                              hires_impl="packed2")),
-    # (rszm bf16-intermediate resize variants measured 2026-08-20: exact
-    # parity both batch sizes, identical loss bits -> flag removed same day)
-    # fused decoder up-block (--up_impl fused, kernels/up_block.py): one
-    # Mosaic kernel per UpSampleBN conv_a that W-resizes rows in VMEM and
-    # never materializes the upsampled/concatenated tensors in HBM
-    # (probe_decoder_bisect put up4 at 16.2 ms fwd vs a 3.7 ms FLOP bound)
-    "upf_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
-                          hires_impl="packed", up_impl="fused")),
-    "upf_off_bs16": (16, dict(use_fused_head=True, use_pallas_chamfer=True,
-                              hires_impl="packed", up_impl="native")),
-    "upf_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
-                          hires_impl="packed", up_impl="fused")),
-    "upf_off_bs32": (32, dict(use_fused_head=True, use_pallas_chamfer=True,
-                              hires_impl="packed", up_impl="native")),
-    "b5_upf_bs8": (8, dict(encoder_name="efficientnet-b5",
-                           use_fused_head=True, use_pallas_chamfer=True,
-                           hires_impl="packed", up_impl="fused")),
+    # (hires2 packed2 variants measured 2026-08-20: lose 7-15% in-step;
+    # rszm bf16-intermediate resize: exact noise; upf fused up-block:
+    # bs16 +23% loss — all three retired, see README "Measured experiments")
 }
 
 

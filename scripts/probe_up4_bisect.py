@@ -75,17 +75,6 @@ def main():
         def __call__(self, x, skip, train=False):
             return jnp.concatenate([x, skip.astype(DT)], axis=-1) * 1.0
 
-    class KernelA(nn.Module):
-        out: int = 80
-
-        @nn.compact
-        def __call__(self, x, skip, train=False):
-            from mde_tpu.kernels.up_block import up_concat_conv
-            from mde_tpu.models.decoder import _ConvParams
-            cin = x.shape[-1] + skip.shape[-1]
-            k, bias = _ConvParams(self.out, cin, name="conv_a")()
-            return up_concat_conv(x, skip.astype(DT), k, bias)
-
     segs = {
         "resize": lambda: grad_segment("resize", Resize(), x_in),
         "conv_a": lambda: grad_segment("conv_a", ConvA(80), x_cat),
@@ -97,12 +86,8 @@ def main():
                 rng.standard_normal((BS, H2, W2, 160), np.float32), DT), skip),
         "full": lambda: grad_segment("full", UpSampleBN(80, DT), x_in, skip,
                                      flag=True),
-        # fused Mosaic up-block (kernels/up_block.py): whole-module A/B vs
-        # "full", plus the raw resize+concat+conv_a kernel alone ("ka") vs
-        # the resize/concat/conv_a segment sum
-        "fullf": lambda: grad_segment("fullf", UpSampleBN(80, DT, "fused"),
-                                      x_in, skip, flag=True),
-        "ka": lambda: grad_segment("ka", KernelA(80), x_in, skip, flag=True),
+        # ("fullf"/"ka" fused up-block variants retired in r5 — measured
+        # +23% in-step loss, kernels/up_block.py deleted)
     }
     wanted = os.environ.get("SEGMENTS")
     for name, fn in segs.items():

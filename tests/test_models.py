@@ -179,41 +179,3 @@ def test_patch_embed_matches_strided_conv():
     yc = yc.reshape(yc.shape[0], -1, yc.shape[-1])
     assert y.shape == yc.shape == (2, 6, 11)
     np.testing.assert_allclose(np.asarray(y), np.asarray(yc), atol=2e-5)
-
-
-def test_encoder_pw_impl_equivalence():
-    """pw_impl='matmul' reproduces pw_impl='conv' bit-compatibly with shared
-    params (same 'kernel' layout -> checkpoint interchangeability), including
-    init parity (lecun_normal over the identical (1,1,Cin,Cout) shape) and
-    gradients."""
-    from mde_tpu.models.efficientnet import EfficientNetEncoder
-
-    rng = np.random.default_rng(6)
-    x = jnp.asarray(rng.standard_normal((1, 64, 96, 3), dtype=np.float32))
-    enc_a = EfficientNetEncoder("efficientnet-b1", dtype=jnp.float32)
-    enc_b = EfficientNetEncoder("efficientnet-b1", dtype=jnp.float32,
-                                pw_impl="matmul")
-    variables = enc_a.init({"params": jax.random.PRNGKey(0)}, x, False)
-    # identical init trees (same param names, shapes, and initializer draws)
-    variables_b = enc_b.init({"params": jax.random.PRNGKey(0)}, x, False)
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
-        variables["params"], variables_b["params"])
-    feats_a = enc_a.apply(variables, x, False)
-    feats_b = enc_b.apply(variables, x, False)
-    for fa, fb in zip(feats_a, feats_b):
-        np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
-                                   atol=2e-5, rtol=1e-5)
-
-    def loss(fn):
-        def inner(params):
-            feats = fn.apply({**variables, "params": params}, x, False)
-            return jnp.sum(feats[-1] ** 2)
-        return inner
-
-    g_a = jax.grad(loss(enc_a))(variables["params"])
-    g_b = jax.grad(loss(enc_b))(variables["params"])
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4),
-        g_a, g_b)

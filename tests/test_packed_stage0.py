@@ -121,64 +121,3 @@ def test_packed_stage0_grad_parity():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
             err_msg=jax.tree_util.keystr(pa))
-
-
-@pytest.mark.parametrize("arch", ["efficientnet-b1", "efficientnet-b5"])
-def test_packed2_stage1_matches_native(arch):
-    """--hires_impl packed2 (stage-1 MBConvs via PackedIRBlock) computes the
-    same function as native with an identical variable tree."""
-    nat = EfficientNetEncoder(arch, dtype=jnp.float32, name="encoder")
-    pk = EfficientNetEncoder(arch, dtype=jnp.float32, hires_impl="packed2",
-                             name="encoder")
-    x = jnp.asarray(
-        np.random.default_rng(3).standard_normal((2, 64, 96, 3), np.float32))
-    v = nat.init({"params": jax.random.PRNGKey(0)}, x, False)
-    v_pk = pk.init({"params": jax.random.PRNGKey(0)}, x, False)
-    assert _tree_paths(v) == _tree_paths(v_pk)
-
-    f_nat = nat.apply(v, x, False)
-    f_pk = pk.apply(v, x, False)
-    for i, (a, b) in enumerate(zip(f_nat, f_pk)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=5e-4, err_msg=f"feature {i}")
-
-    (f_nat, m_nat) = nat.apply(v, x, True, mutable=["batch_stats"],
-                               rngs={"drop_path": jax.random.PRNGKey(1)})
-    (f_pk, m_pk) = pk.apply(v, x, True, mutable=["batch_stats"],
-                            rngs={"drop_path": jax.random.PRNGKey(1)})
-    for i, (a, b) in enumerate(zip(f_nat, f_pk)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=5e-4, err_msg=f"feature {i}")
-    for (pa, a), (pb, b) in zip(
-            jax.tree_util.tree_leaves_with_path(m_nat["batch_stats"]),
-            jax.tree_util.tree_leaves_with_path(m_pk["batch_stats"])):
-        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=5e-4,
-                                   err_msg=jax.tree_util.keystr(pa))
-
-
-def test_packed2_grad_parity():
-    nat = EfficientNetEncoder("efficientnet-b1", dtype=jnp.float32,
-                              name="encoder")
-    pk = EfficientNetEncoder("efficientnet-b1", dtype=jnp.float32,
-                             hires_impl="packed2", name="encoder")
-    x = jnp.asarray(
-        np.random.default_rng(4).standard_normal((2, 64, 96, 3), np.float32))
-    v = nat.init({"params": jax.random.PRNGKey(0)}, x, False)
-
-    def loss(mod, params, x):
-        feats, _ = mod.apply({"params": params,
-                              "batch_stats": v["batch_stats"]},
-                             x, True, mutable=["batch_stats"],
-                             rngs={"drop_path": jax.random.PRNGKey(1)})
-        return sum(jnp.sum(jnp.square(f)) / f.size for f in feats[4:])
-
-    g_nat = jax.grad(loss, argnums=(1, 2))(nat, v["params"], x)
-    g_pk = jax.grad(loss, argnums=(1, 2))(pk, v["params"], x)
-    for (pa, a), (_, b) in zip(
-            jax.tree_util.tree_leaves_with_path(g_nat),
-            jax.tree_util.tree_leaves_with_path(g_pk)):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
-            err_msg=jax.tree_util.keystr(pa))
