@@ -274,9 +274,16 @@ def _agree_run_id(args) -> str:
     run_id = make_run_id(args)
     if jax.process_count() > 1:
         from jax._src import distributed as _dist
-        client = getattr(_dist.global_state, "client", None)
+        client = getattr(getattr(_dist, "global_state", None), "client", None)
         if client is not None:
-            key = f"mde_tpu/run_id/{args.name}"
+            # scope the key by an invocation counter: key_value_set raises
+            # on an existing key, so a second main_train with the same
+            # --name inside one jax.distributed session (driver reuse in a
+            # harness) must not collide with the first agreement. Every
+            # process calls main_train the same number of times, so the
+            # counters agree across ranks.
+            n = _agree_run_id._calls = getattr(_agree_run_id, "_calls", 0) + 1
+            key = f"mde_tpu/run_id/{args.name}/{n}"
             if jax.process_index() == 0:
                 client.key_value_set(key, run_id)
             run_id = client.blocking_key_value_get(key, 300_000)
@@ -312,8 +319,11 @@ def _local_np(a, dtype=None):
     addressable shards in index order gives the local sub-batch, which is
     exactly what the reference's per-rank figure logging shows."""
     if isinstance(a, jax.Array) and not a.is_fully_addressable:
-        shards = sorted(a.addressable_shards,
-                        key=lambda s: s.index[0].start or 0)
+        # dedupe by shard index: on a ('data','model') mesh a P('data')
+        # batch is replicated over the model axis, so each row block
+        # appears model-size times among the addressable shards
+        uniq = {s.index[0].start or 0: s for s in a.addressable_shards}
+        shards = [uniq[k] for k in sorted(uniq)]
         a = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
     return np.asarray(a, dtype=dtype) if dtype else np.asarray(a)
 

@@ -71,5 +71,9 @@ def setup_exp_dir(root, exp_name, interactive=True):
                     elif ans2 == "keep writing":
                         return exp_path
     else:
-        os.makedirs(exp_path)
+        # exist_ok: under jax.distributed every rank calls this on a shared
+        # root; two ranks racing past the isdir check must not crash one
+        # with FileExistsError (the others would then hang at the first
+        # collective).
+        os.makedirs(exp_path, exist_ok=True)
     return exp_path

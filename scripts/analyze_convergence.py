@@ -12,6 +12,9 @@ Also reports steady-state e2e throughput (img/s) from inter-step wall times
 (VERDICT r3 next #6) — this is HOST-bound on the 1-core dev box.
 
 Usage: python scripts/analyze_convergence.py EXP_DIR [--bs 16]
+           [--validate-every 100] [--log-every 5]
+(--validate-every / --log-every must mirror the run's params file; the
+resume-continuity bound (d) and the throughput figure depend on them.)
 """
 
 import glob
@@ -24,7 +27,16 @@ import numpy as np
 
 def main():
     exp_dir = sys.argv[1]
-    bs = int(sys.argv[sys.argv.index("--bs") + 1]) if "--bs" in sys.argv else 16
+
+    def _opt(flag, default):
+        return int(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv else default
+
+    bs = _opt("--bs", 16)
+    val_every = _opt("--validate-every", 100)
+    log_every = _opt("--log-every", 5)
+    # --no-kill: the run had no mid-run SIGKILL leg (e.g. the cue e2e system
+    # runs); criterion (d) degenerates to "steps strictly increasing".
+    no_kill = "--no-kill" in sys.argv
     events = []
     with open(os.path.join(exp_dir, "events.jsonl")) as f:
         for line in f:
@@ -49,6 +61,12 @@ def main():
     improvements = sum(1 for i in range(1, len(ar)) if ar[i] < min(ar[:i]))
     out["b_absrel_improving"] = bool(len(ar) >= 3 and improvements >= 2
                                      and ar[-1] < ar[0])
+    if ar:
+        # best-vs-latest: nonzero on runs long enough to plateau + wobble,
+        # where best-checkpoint selection genuinely matters (VERDICT r4 #7)
+        out["absrel_best"] = round(min(ar), 4)
+        out["absrel_last"] = round(ar[-1], 4)
+        out["best_vs_latest_gap"] = round(ar[-1] - min(ar), 4)
 
     # (c) best checkpoint fired
     best = glob.glob(os.path.join(exp_dir, "*_best"))
@@ -69,20 +87,23 @@ def main():
     post = steps[big_gap + 1:]
     pre_max = max(pre) if pre else -1
     out["resume_restart_step"] = min(post) if post else None
-    val_every = 100
-    out["d_resume_continued"] = bool(
-        post and pre
-        and 0 < min(post) <= pre_max
-        and pre_max - min(post) <= val_every + 12   # last ckpt, not scratch
-        and max(post) > pre_max
-        and all(np.diff(pre) > 0) and all(np.diff(post) > 0))
+    if no_kill:
+        out["d_resume_continued"] = bool(
+            len(steps) > 1 and all(np.diff(steps) > 0))
+    else:
+        out["d_resume_continued"] = bool(
+            post and pre
+            and 0 < min(post) <= pre_max
+            and pre_max - min(post) <= val_every + 12   # last ckpt, not scratch
+            and max(post) > pre_max
+            and all(np.diff(pre) > 0) and all(np.diff(post) > 0))
 
-    # e2e throughput from steady-state inter-log gaps (logs every 5 steps)
+    # e2e throughput from steady-state inter-log gaps
     if len(ts) > 10:
         d = np.diff(ts)
         d = d[(d > 0) & (d < np.percentile(d, 90))]  # drop kill/validation gaps
         sec_per_log = float(np.median(d))
-        out["e2e_img_per_s_host_bound"] = round(5 * bs / sec_per_log, 2)
+        out["e2e_img_per_s_host_bound"] = round(log_every * bs / sec_per_log, 2)
 
     out["PASS"] = all(out[k] for k in ("a_train_loss_down", "b_absrel_improving",
                                        "c_best_checkpoint", "d_resume_continued"))
