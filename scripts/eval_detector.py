@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--num-classes", type=int, default=100)
     ap.add_argument("--max-images", type=int, default=None)
     ap.add_argument("--score-thr", type=float, default=0.05)
+    ap.add_argument("--max-long", type=int, default=None,
+                    help="override the 1333 keep-ratio long side (reduced-"
+                         "scale synthetic runs)")
+    ap.add_argument("--max-short", type=int, default=None,
+                    help="override the 800 keep-ratio short side")
     args = ap.parse_args()
 
     import jax
@@ -36,9 +41,21 @@ def main():
     from mde_tpu.offline.swin_convert import convert_detector
 
     sys.path.insert(0, os.path.dirname(__file__))
+    import generate_instances as gi
     from generate_instances import preprocess
+    if args.max_long:
+        gi.MAX_LONG = args.max_long
+    if args.max_short:
+        gi.MAX_SHORT = args.max_short
 
-    params, stats = convert_detector(args.checkpoint)
+    if os.path.isdir(args.checkpoint):
+        # orbax tree from scripts/train_detector.py (train->eval composition)
+        from mde_tpu.checkpoint import load_checkpoint
+        restored, _ = load_checkpoint(args.checkpoint)
+        params = restored["params"]
+        stats = restored.get("batch_stats", {})
+    else:
+        params, stats = convert_detector(args.checkpoint)
     variables = {"params": jax.tree_util.tree_map(jnp.asarray, params),
                  "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)}
     model = CascadeMaskRCNN(num_classes=args.num_classes, dtype=jnp.bfloat16)

@@ -51,7 +51,11 @@ def preprocess(img_u8: np.ndarray):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", required=True)
-    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--random-init", type=int, default=None, metavar="SEED",
+                    help="skip checkpoint conversion and run with flax-"
+                         "initialized weights (system tests of the offline->"
+                         "side-file->cue-training loop)")
     ap.add_argument("--bbox-areas", action="store_true",
                     help="use bbox area instead of mask area (the _bbox variant)")
     ap.add_argument("--classes", choices=["ade20k", "coco"], default="ade20k",
@@ -79,10 +83,18 @@ def main():
 
     coco = args.classes == "coco"
     num_classes = args.num_classes or (80 if coco else 100)
-    params, stats = convert_detector(args.checkpoint)
-    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params),
-                 "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)}
     model = CascadeMaskRCNN(num_classes=num_classes, dtype=jnp.bfloat16)
+    if args.random_init is not None:
+        # 128x128 keeps every FPN level (down to /64) non-degenerate at init
+        dummy = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        variables = model.init({"params": jax.random.PRNGKey(args.random_init)},
+                               dummy, (128, 128), method=CascadeMaskRCNN.infer)
+    else:
+        if not args.checkpoint:
+            ap.error("--checkpoint required unless --random-init")
+        params, stats = convert_detector(args.checkpoint)
+        variables = {"params": jax.tree_util.tree_map(jnp.asarray, params),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)}
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def infer(variables, x, img_hw):

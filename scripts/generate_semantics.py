@@ -22,8 +22,13 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", required=True, help="root dir scanned for rgb_*.jpg")
-    ap.add_argument("--encoder-ckpt", required=True)
-    ap.add_argument("--decoder-ckpt", required=True)
+    ap.add_argument("--encoder-ckpt", default=None)
+    ap.add_argument("--decoder-ckpt", default=None)
+    ap.add_argument("--random-init", type=int, default=None, metavar="SEED",
+                    help="skip checkpoint conversion and run with flax-"
+                         "initialized weights (system tests of the offline->"
+                         "side-file->cue-training loop where no released "
+                         "checkpoint is available)")
     ap.add_argument("--overwrite", action="store_true")
     args = ap.parse_args()
 
@@ -31,12 +36,20 @@ def main():
     import jax.numpy as jnp
     from PIL import Image
     from mde_tpu.offline.hrnet import HRNetV2C1, hrnet_multiscale_inference
-    from mde_tpu.offline.hrnet_convert import convert_hrnet_c1
 
-    params, stats = convert_hrnet_c1(args.encoder_ckpt, args.decoder_ckpt)
-    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params),
-                 "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)}
     model = HRNetV2C1(dtype=jnp.bfloat16)
+    if args.random_init is not None:
+        # param shapes are input-size independent; init small for speed
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = model.init({"params": jax.random.PRNGKey(args.random_init)},
+                               dummy, seg_size=(64, 64), train=False)
+    else:
+        if not (args.encoder_ckpt and args.decoder_ckpt):
+            ap.error("--encoder-ckpt/--decoder-ckpt required unless --random-init")
+        from mde_tpu.offline.hrnet_convert import convert_hrnet_c1
+        params, stats = convert_hrnet_c1(args.encoder_ckpt, args.decoder_ckpt)
+        variables = {"params": jax.tree_util.tree_map(jnp.asarray, params),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)}
 
     import functools
 

@@ -82,22 +82,37 @@ def tunnel_health():
     return round(50 * 2 * 4096**3 / dt / 1e12, 1)
 
 
-def flops_of(fn, *args):
-    """XLA cost-analysis FLOPs of one call (separate compile, no donation)."""
+# Roofline reference points (v5e-1), overridable for other chips: bf16 MXU
+# peak and HBM bandwidth. bound_ms = max(flops/PEAK, bytes/BW) per segment;
+# pct_of_bound = bound/achieved (100% = at the roofline).
+PEAK_TFLOPS = float(os.environ.get("PEAK_TFLOPS", "197"))
+HBM_GBPS = float(os.environ.get("HBM_GBPS", "819"))
+
+
+def cost_of(fn, *args):
+    """XLA cost-analysis (flops, bytes accessed) of one call (separate
+    compile, no donation). bytes accessed is XLA's post-fusion estimate of
+    HBM traffic — the roofline denominator."""
     try:
         cost = jax.jit(fn).lower(*args).compile().cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        return float((cost or {}).get("flops", float("nan")))
+        cost = cost or {}
+        return (float(cost.get("flops", float("nan"))),
+                float(cost.get("bytes accessed", float("nan"))))
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"flops_error": f"{type(e).__name__}: {str(e)[:200]}"}),
               flush=True)
-        return float("nan")
+        return float("nan"), float("nan")
+
+
+def flops_of(fn, *args):
+    return cost_of(fn, *args)[0]
 
 
 _SEGMENTS = [s for s in os.environ.get("SEGMENTS", "").split(",") if s]
 
 
-def timed_scan(name, fn, *arrays, flops=float("nan")):
+def timed_scan(name, fn, *arrays, flops=float("nan"), bytes_=float("nan")):
     """fn(carry_scalar, *arrays) -> scalar; ITERS chained calls per dispatch.
     The carry must feed fn's *inputs* so the body can't be hoisted."""
     if _SEGMENTS and name not in _SEGMENTS:
@@ -110,7 +125,7 @@ def timed_scan(name, fn, *arrays, flops=float("nan")):
         return jax.lax.scan(body, c0, None, length=ITERS)[0]
 
     try:
-        return _run_timed(name, run, arrays, flops)
+        return _run_timed(name, run, arrays, flops, bytes_)
     except Exception as e:  # noqa: BLE001 — keep later segments alive
         print(json.dumps({"segment": name,
                           "error": f"{type(e).__name__}: {str(e)[:200]}"}),
@@ -118,7 +133,7 @@ def timed_scan(name, fn, *arrays, flops=float("nan")):
         return None
 
 
-def _run_timed(name, run, arrays, flops):
+def _run_timed(name, run, arrays, flops, bytes_=float("nan")):
     t0 = time.perf_counter()
     v = float(run(jnp.float32(0.0), *arrays))
     compile_s = time.perf_counter() - t0
@@ -131,6 +146,15 @@ def _run_timed(name, run, arrays, flops):
     if flops == flops:
         out["gflops"] = round(flops / 1e9, 1)
         out["achieved_tflops"] = round(flops / (dt / ITERS) / 1e12, 2)
+    if bytes_ == bytes_:
+        out["gbytes"] = round(bytes_ / 1e9, 2)
+        # roofline: the segment can't run faster than its FLOPs on the MXU
+        # or its HBM traffic on the memory bus, whichever binds
+        bound_ms = max(flops / (PEAK_TFLOPS * 1e9),
+                       bytes_ / (HBM_GBPS * 1e6)) if flops == flops \
+            else bytes_ / (HBM_GBPS * 1e6)
+        out["bound_ms"] = round(bound_ms, 2)
+        out["pct_of_bound"] = round(100 * bound_ms / ms, 1)
     print(json.dumps(out), flush=True)
     return ms
 
@@ -177,7 +201,8 @@ def main():
         return s2, m
 
     if not os.environ.get("SKIP_STEP"):
-        step_flops = flops_of(step_once, state, batch, jax.random.PRNGKey(1))
+        step_flops, step_bytes = cost_of(step_once, state, batch,
+                                         jax.random.PRNGKey(1))
         t0 = time.perf_counter()
         state2, losses = run_steps(state, batch, jax.random.PRNGKey(1))
         _ = float(losses[-1])
@@ -191,6 +216,12 @@ def main():
         if step_flops == step_flops:
             out["gflops"] = round(step_flops / 1e9, 1)
             out["achieved_tflops"] = round(step_flops / (dt / ITERS) / 1e12, 2)
+        if step_bytes == step_bytes:
+            out["gbytes"] = round(step_bytes / 1e9, 2)
+            bound_ms = max(step_flops / (PEAK_TFLOPS * 1e9),
+                           step_bytes / (HBM_GBPS * 1e6))
+            out["bound_ms"] = round(bound_ms, 2)
+            out["pct_of_bound"] = round(100 * bound_ms / (1e3 * dt / ITERS), 1)
         print(json.dumps(out), flush=True)
         del state2
 
@@ -222,7 +253,10 @@ def main():
                    for g in jax.tree_util.tree_leaves(grads))
         return loss + 1e-30 * gsum
 
-    timed_scan("grads", seg_grads, batch["image"], batch["depth"])
+    grads_cost = cost_of(lambda im, d: seg_grads(jnp.float32(0.0), im, d),
+                         batch["image"], batch["depth"])
+    timed_scan("grads", seg_grads, batch["image"], batch["depth"],
+               flops=grads_cost[0], bytes_=grads_cost[1])
 
     # --- loss_fwd ---------------------------------------------------------
     def seg_loss_fwd(c, image, depth):
@@ -240,12 +274,13 @@ def main():
             mutable=["batch_stats"])
         return jnp.sum(pred.astype(jnp.float32)) + jnp.sum(bin_edges)
 
-    fwd_flops = flops_of(fwd, params, stats, batch["image"], key)
+    fwd_flops, fwd_bytes = cost_of(fwd, params, stats, batch["image"], key)
 
     def seg_fwd(c, image):
         return fwd(params, stats, image + c * 1e-30, key)
 
-    timed_scan("fwd", seg_fwd, batch["image"], flops=fwd_flops)
+    timed_scan("fwd", seg_fwd, batch["image"], flops=fwd_flops,
+               bytes_=fwd_bytes)
 
     # --- model fwd+bwd WITHOUT losses: isolates the model backward from the
     # chamfer/silog backward (grads - fwd_g = loss fwd+bwd share)
@@ -256,7 +291,10 @@ def main():
                    for g in jax.tree_util.tree_leaves(grads))
         return loss * 1e-30 + 1e-30 * gsum
 
-    timed_scan("fwd_g", seg_fwd_g, batch["image"])
+    fwdg_cost = cost_of(lambda image: seg_fwd_g(jnp.float32(0.0), image),
+                        batch["image"])
+    timed_scan("fwd_g", seg_fwd_g, batch["image"], flops=fwdg_cost[0],
+               bytes_=fwdg_cost[1])
 
     # --- optimizer alone: clip + inject_hyperparams(AdamW) on fixed grads.
     # Perturb grads by the carry so the update can't be hoisted; consume the
@@ -285,12 +323,13 @@ def main():
                              rngs={"drop_path": jax.random.PRNGKey(7)})
         return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
 
-    enc_flops = flops_of(enc_fwd, enc_vars, batch["image"])
+    enc_flops, enc_bytes = cost_of(enc_fwd, enc_vars, batch["image"])
 
     def seg_enc(c, image):
         return enc_fwd(enc_vars, image + c * 1e-30)
 
-    timed_scan("encoder", seg_enc, batch["image"], flops=enc_flops)
+    timed_scan("encoder", seg_enc, batch["image"], flops=enc_flops,
+               bytes_=enc_bytes)
 
     def seg_enc_g(c, image):
         loss, grads = jax.value_and_grad(enc_fwd)(enc_vars, image + c * 1e-30)
@@ -298,7 +337,10 @@ def main():
                    for g in jax.tree_util.tree_leaves(grads))
         return loss * 1e-30 + 1e-30 * gsum
 
-    timed_scan("encoder_g", seg_enc_g, batch["image"])
+    encg_cost = cost_of(lambda image: seg_enc_g(jnp.float32(0.0), image),
+                        batch["image"])
+    timed_scan("encoder_g", seg_enc_g, batch["image"], flops=encg_cost[0],
+               bytes_=encg_cost[1])
 
     # --- losses on fixed tensors ------------------------------------------
     pred_shape = (BS, H // 2, W // 2, 1)

@@ -1,0 +1,60 @@
+#!/bin/bash
+# Round-5 cue end-to-end system run (VERDICT r4 next #1): exercise the loop
+# the paper exists for as ONE system — our offline L8 pipelines produce the
+# cue side files, our L2 dataset derives + loads them, our L4 embedders embed
+# them on device, and the real `python train.py params.txt` CLI trains with
+# them at both insertion points.
+#
+#   1. build the synthetic NYU tree (scripts/make_synthetic_nyu.py),
+#   2. HRNetV2-W48+C1 multi-scale inference (random-init: no released
+#      checkpoint exists in this environment; the *system* under test is the
+#      producer->file->consumer contract, reference README.md:65-81) writes
+#      semantic_seg_*.npy next to every rgb (reference demo_test.sh),
+#   3. Swin-B Cascade Mask R-CNN inference writes
+#      instance_{labels,areas}_ade20k_swin_*.npz (reference
+#      tools/nyud2_inference.py:62-139),
+#   4. train leg A: --use_semantics glove-25d --use_instance_segmentation
+#      ade20k_swin --insertion_point input   (reference train.py:89-113),
+#   5. train leg B: same cues, --insertion_point before-attn,
+#   6. analyze both runs (loss down, abs_rel improving, best-ckpt firing).
+#
+# Usage: bash scripts/run_cue_e2e_tpu.sh /tmp/cue_e2e
+set -u
+ROOT=${1:-/tmp/cue_e2e}
+LOG=${LOG:-/tmp/cue_e2e_r5.log}
+BS=8      # cue configs at bs16 exceed the external compile-service limit
+EPOCHS=${EPOCHS:-20}   # 192 imgs / bs8 = 24 steps/epoch -> 480 steps
+
+cd /root/repo
+echo "=== cue e2e: dataset ===" | tee $LOG
+python scripts/make_synthetic_nyu.py $ROOT --n-train 192 --n-eval 16 \
+    --bs $BS --epochs $EPOCHS --validate-every 100 >> $LOG 2>&1 || exit 1
+
+echo "=== cue e2e: semantics side files (HRNet, random-init) ===" >> $LOG
+for split in sync eval; do
+    timeout 5400 python scripts/generate_semantics.py --images $ROOT/$split \
+        --random-init 0 >> $LOG 2>&1 || { echo "SEMANTICS $split FAILED" >> $LOG; exit 1; }
+done
+
+echo "=== cue e2e: instance side files (Swin cascade, random-init) ===" >> $LOG
+for split in sync eval; do
+    timeout 7200 python scripts/generate_instances.py --images $ROOT/$split \
+        --random-init 0 >> $LOG 2>&1 || { echo "INSTANCES $split FAILED" >> $LOG; exit 1; }
+done
+echo "=== side-file counts ===" >> $LOG
+find $ROOT -name 'semantic_seg_*.npy' | wc -l >> $LOG
+find $ROOT -name 'instance_labels_*.npz' | wc -l >> $LOG
+
+for point in input before-attn; do
+    name=cue_e2e_${point//-/_}
+    echo "=== cue e2e: train leg ($point insertion) ===" >> $LOG
+    timeout 10800 python train.py $ROOT/params.txt \
+        --name $name \
+        --use_semantics glove-25d \
+        --use_instance_segmentation ade20k_swin \
+        --insertion_point $point >> $LOG 2>&1
+    echo "=== leg $point exit: $? ===" >> $LOG
+    echo "=== analyze $point ===" >> $LOG
+    python scripts/analyze_convergence.py "$ROOT/runs/$name" \
+        --bs $BS --no-kill | tee -a $LOG
+done

@@ -43,7 +43,18 @@ def main():
                          "smoke runs and budgeted jobs")
     ap.add_argument("--max-gt", type=int, default=100,
                     help="static GT padding capacity per image")
+    ap.add_argument("--fixed-scale", default=None, metavar="SHORT,LONG",
+                    help="pin the AutoAugment scale set to one (short,long) "
+                         "pair (reduced-scale runs on small synthetic sets; "
+                         "one compiled program instead of the full scale set)")
     args = ap.parse_args()
+
+    if args.fixed_scale:
+        import mde_tpu.offline.detection_data as dd
+        short, long_ = (int(v) for v in args.fixed_scale.split(","))
+        dd.SCALES_MAIN = [(short, long_)]
+        dd.SCALES_PRE_CROP = [(short, long_)]
+        dd.CROP_RANGE = (short, short)
 
     import jax
     import jax.numpy as jnp
