@@ -85,10 +85,12 @@ def main():
     num_classes = args.num_classes or (80 if coco else 100)
     model = CascadeMaskRCNN(num_classes=num_classes, dtype=jnp.bfloat16)
     if args.random_init is not None:
-        # 128x128 keeps every FPN level (down to /64) non-degenerate at init
+        # 128x128 keeps every FPN level (down to /64) non-degenerate at
+        # init; jitted — eager init dispatches per-op over the tunnel
         dummy = jnp.zeros((1, 128, 128, 3), jnp.float32)
-        variables = model.init({"params": jax.random.PRNGKey(args.random_init)},
-                               dummy, (128, 128), method=CascadeMaskRCNN.infer)
+        variables = jax.jit(lambda r, x: model.init(
+            {"params": r}, x, (128, 128), method=CascadeMaskRCNN.infer))(
+                jax.random.PRNGKey(args.random_init), dummy)
     else:
         if not args.checkpoint:
             ap.error("--checkpoint required unless --random-init")

@@ -39,10 +39,13 @@ def main():
 
     model = HRNetV2C1(dtype=jnp.bfloat16)
     if args.random_init is not None:
-        # param shapes are input-size independent; init small for speed
+        # param shapes are input-size independent; init small for speed.
+        # jit the init: eager init dispatches per-op over the remote-compile
+        # tunnel and stalls for minutes (CLAUDE.md per-op-RTT gotcha)
         dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-        variables = model.init({"params": jax.random.PRNGKey(args.random_init)},
-                               dummy, seg_size=(64, 64), train=False)
+        variables = jax.jit(lambda r, x: model.init(
+            {"params": r}, x, seg_size=(64, 64), train=False))(
+                jax.random.PRNGKey(args.random_init), dummy)
     else:
         if not (args.encoder_ckpt and args.decoder_ckpt):
             ap.error("--encoder-ckpt/--decoder-ckpt required unless --random-init")
