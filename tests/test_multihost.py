@@ -125,12 +125,17 @@ def test_run_id_broadcast_and_rank0_logging(monkeypatch, tmp_path):
 
     # (1) run_id adoption via the coordinator KV store (no device
     # collective): rank 1 adopts what rank 0 published, rank 0 publishes
-    # its own id under a name-scoped key
+    # its own id under a name-scoped key. Keys carry a per-process
+    # invocation counter (each main_train call in one jax.distributed
+    # session gets a fresh key); both simulated ranks here are their
+    # first invocation, so reset the counter between them.
     rank0_id = "20-Aug_99-99-nodebs8-tep1-lr0.001-wd0.1-cafecafe"
-    store = {"mde_tpu/run_id/exp": rank0_id}
+    store = {"mde_tpu/run_id/exp/1": rank0_id}
 
     class _Client:
         def key_value_set(self, k, v):
+            if k in store:
+                raise RuntimeError("key exists: " + k)  # real client raises
             store[k] = v
 
         def blocking_key_value_get(self, k, timeout_ms):
@@ -142,11 +147,13 @@ def test_run_id_broadcast_and_rank0_logging(monkeypatch, tmp_path):
     monkeypatch.setattr(jax, "process_index", lambda: 1)
     args = types.SimpleNamespace(name="exp", root="/tmp", bs=8, lr=1e-3,
                                  wd=0.1, epochs=1)
+    drv._agree_run_id._calls = 0
     assert drv._agree_run_id(args) == rank0_id
-    # rank 0 publishes (and keeps) its own
+    # rank 0 publishes (and keeps) its own — a SECOND invocation must go
+    # under a fresh counter-scoped key instead of colliding (ADVICE r4)
     monkeypatch.setattr(jax, "process_index", lambda: 0)
     got = drv._agree_run_id(args)
-    assert store["mde_tpu/run_id/exp"] == got
+    assert store["mde_tpu/run_id/exp/2"] == got
 
     # (2) rank-1 logger is the null logger and the figure builder skips work
     lg = drv._NullLogger()
