@@ -224,14 +224,19 @@ def hrnet_multiscale_inference(apply_fn, variables, img_hwc01: np.ndarray,
     from PIL import Image
 
     h, w = img_hwc01.shape[:2]
-    scores = np.zeros((h, w, num_classes), dtype=np.float32)
     pil = Image.fromarray((np.clip(img_hwc01, 0, 1) * 255).astype(np.uint8))
+    # Accumulate scores and take the argmax ON DEVICE: fetching five
+    # (H, W, 150) f32 score maps per image moved ~920 MB/image over the
+    # remote tunnel (measured ~1.4 img/min, 2026-08-20); the class map is
+    # 1.2 MB. argmax(sum) == argmax(mean), same first-max tie-breaking as
+    # np.argmax, so the result is unchanged (test.py:60-103 protocol).
+    scores = None
     for (th, tw), (ph, pw) in _scale_plan(h, w):
         resized = np.asarray(pil.resize((tw, th), Image.BILINEAR),
                              dtype=np.float32) / 255.0
         x = normalize_image(resized)
         pad = np.zeros((ph, pw, 3), dtype=np.float32)
         pad[:th, :tw] = x
-        out = apply_fn(variables, jnp.asarray(pad[None]), (h, w))
-        scores += np.asarray(out[0]) / len(IMG_SIZES)
-    return np.argmax(scores, axis=-1).astype(np.int32)
+        out = apply_fn(variables, jnp.asarray(pad[None]), (h, w))[0]
+        scores = out if scores is None else scores + out
+    return np.asarray(jnp.argmax(scores, axis=-1), dtype=np.int32)
