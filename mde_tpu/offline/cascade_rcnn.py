@@ -101,6 +101,10 @@ class CascadeMaskRCNN(nn.Module):
     num_classes: int = 100
     use_checkpoint: bool = False   # remat Swin blocks (training memory)
     dtype: Any = jnp.float32
+    # test_cfg.rcnn score threshold (mmdet default 0.05). Exposed so
+    # random-init system runs can lower it: an untrained head's softmax
+    # sits near 1/(C+1) and 0.05 rejects everything.
+    score_thr: float = 0.05
 
     def setup(self):
         self.backbone = SwinTransformer(dtype=self.dtype, name="backbone",
@@ -152,8 +156,8 @@ class CascadeMaskRCNN(nn.Module):
             rois = delta2bbox(rois, sel, stds=STAGE_STDS[i], max_shape=img_hw)
         cls_avg = cls_sum / 3.0                                    # (R, C+1)
 
-        boxes, scores, labels, valid = self._multiclass_nms(rois, cls_avg,
-                                                            prop_valid)
+        boxes, scores, labels, valid = self._multiclass_nms(
+            rois, cls_avg, prop_valid, score_thr=self.score_thr)
         # mask heads on final boxes; per-stage sigmoid average
         roi_feats = extract_roi_features(feats[:4], boxes, 14)
         mask_prob = None

@@ -71,6 +71,10 @@ def main():
                     help="optional dir of sync_depth pngs for the area/depth stats")
     ap.add_argument("--stats-out", default=None)
     ap.add_argument("--overwrite", action="store_true")
+    ap.add_argument("--score-thr", type=float, default=0.05,
+                    help="test_cfg.rcnn score threshold (lower for "
+                         "random-init system runs: an untrained softmax "
+                         "sits near 1/(C+1))")
     args = ap.parse_args()
 
     import functools
@@ -83,7 +87,8 @@ def main():
 
     coco = args.classes == "coco"
     num_classes = args.num_classes or (80 if coco else 100)
-    model = CascadeMaskRCNN(num_classes=num_classes, dtype=jnp.bfloat16)
+    model = CascadeMaskRCNN(num_classes=num_classes, dtype=jnp.bfloat16,
+                            score_thr=args.score_thr)
     if args.random_init is not None:
         # 128x128 keeps every FPN level (down to /64) non-degenerate at
         # init; jitted — eager init dispatches per-op over the tunnel

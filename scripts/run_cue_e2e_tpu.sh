@@ -37,9 +37,14 @@ for split in sync eval; do
 done
 
 echo "=== cue e2e: instance side files (Swin cascade, random-init) ===" >> $LOG
+# score-thr 0.005: an untrained 101-way softmax sits near 0.0099, so the
+# mmdet 0.05 threshold rejects everything and every npz degenerates to the
+# no-detections fallback — real detections must flow for the consumer side
+# (npz -> dataset -> embedders) to be exercised with content
 for split in sync eval; do
     timeout 7200 python scripts/generate_instances.py --images $ROOT/$split \
-        --random-init 0 >> $LOG 2>&1 || { echo "INSTANCES $split FAILED" >> $LOG; exit 1; }
+        --random-init 0 --score-thr 0.005 >> $LOG 2>&1 \
+        || { echo "INSTANCES $split FAILED" >> $LOG; exit 1; }
 done
 echo "=== side-file counts ===" >> $LOG
 find $ROOT -name 'semantic_seg_*.npy' | wc -l >> $LOG
