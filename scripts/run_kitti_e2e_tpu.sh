@@ -14,13 +14,14 @@
 set -u
 ROOT=${1:-/tmp/synth_kitti}
 LOG=${LOG:-/tmp/kitti_e2e_r5.log}
+EPOCHS=${EPOCHS:-25}
 
 cd /root/repo
 echo "=== kitti e2e: dataset ===" | tee $LOG
 python scripts/make_synthetic_kitti.py $ROOT --n-train 128 --n-eval 8 \
-    --bs 8 --epochs 25 --validate-every 100 >> $LOG 2>&1 || exit 1
+    --bs 8 --epochs $EPOCHS --validate-every 100 >> $LOG 2>&1 || exit 1
 
-echo "=== kitti e2e: train (400 steps = 25 epochs x 16 steps) ===" >> $LOG
+echo "=== kitti e2e: train ($EPOCHS epochs x 16 steps) ===" >> $LOG
 timeout 10800 python train.py $ROOT/params.txt >> $LOG 2>&1
 echo "=== train exit: $? ===" >> $LOG
 python scripts/analyze_convergence.py "$ROOT/runs/synth_kitti" \

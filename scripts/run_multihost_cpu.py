@@ -175,7 +175,7 @@ def _events_max_step(root):
     return mx, vals
 
 
-def _wait_and_kill(procs, root, timeout_s=7200):
+def _wait_and_kill(procs, root, timeout_s=14400):
     """Poll the run's events.jsonl until the KILL_AT_STEP validation has
     completed (its abs_rel logged => its checkpoint save has been enqueued;
     steps here take tens of seconds, so a short grace covers the async
