@@ -191,12 +191,20 @@ def main_train(args, max_steps=None, interactive=True):
                 pred = qual_forward(state.params, state.batch_stats, arrays)
                 _log_qual_figure(logger, graph_builder, "Test/QualSamples",
                                  args, batch, pred, step)
-                # async: the disk write overlaps the next dispatch window
+                # async: the disk write overlaps the next dispatch window.
+                # Under jax.distributed the async commit barrier (coordination
+                # service) can interleave with the NEXT step's Gloo/ICI
+                # collectives and abort the job at the first mid-training
+                # save (reproduced 2026-08-21, run_multihost_cpu leg A:
+                # "Shutdown::" BarrierError at step 6 right after the step-5
+                # validation; single-process runs are unaffected) — so
+                # multi-process runs save synchronously.
+                sync_save = jax.process_count() > 1
                 save_checkpoint(state, epoch, f"{experiment_name}_{run_id}_latest",
-                                root=exp_dir, async_save=True)
+                                root=exp_dir, async_save=not sync_save)
                 if m.get("abs_rel", np.inf) < best_loss:
                     save_checkpoint(state, epoch, f"{experiment_name}_{run_id}_best",
-                                    root=exp_dir, async_save=True)
+                                    root=exp_dir, async_save=not sync_save)
                     best_loss = m["abs_rel"]
 
             if max_steps is not None and step >= max_steps:
